@@ -1,0 +1,323 @@
+"""Single-pass validation engine.
+
+Executes a ValidatorBuilder plan over a DataFrame:
+
+    scan → override projection → schema-predicate stage → per-rule outcome
+    structs (SQL exprs + broadcast joins + the pandas-UDF escape hatch) →
+    verdict = first failure by rule index → verdicts / violations outputs
+    (+ column_stats aggregate, + run-level drift checks)
+
+Per-row semantics match /root/reference/src/index.ts:63-159 exactly (see
+compile.py). Dataset-level rules (unique) are computed over the *frontier* —
+rows not failed by any earlier stage — preserving the reference's "later rules
+never ran" observability for aggregates (SURVEY.md §7 hard part a).
+
+Scale design (north_rule): dimension joins are broadcast; uniqueness is a
+salted two-phase repartition-and-count whose duplicate-key list is broadcast
+back (no skewed shuffle join on hot urls); everything else is one
+partition-parallel pass with whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from types import SimpleNamespace
+from typing import Any, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import compile as C
+from .errors import ErrorBag
+from .model import (ArrayAllRule, ColumnStatsRule, CustomPandasRule,
+                    DriftKLRule, EnrichRule, FieldRule, ReferentialRule,
+                    UniqueRule, ValidatorBuilder, invariant)
+from .operators.drift import kl_divergence
+from .operators.stats import column_stats
+from .operators.uniqueness import duplicate_keys
+
+
+@dataclass
+class RunCheck:
+    """Run-level (whole-table) check result, e.g. drift."""
+
+    rule_id: str
+    metric: str
+    value: float
+    threshold: float
+    passed: bool
+
+
+@dataclass
+class ValidationResult:
+    """Outputs of one validation pass.
+
+    verdicts:   DataFrame(key, success, rule_idx, rule_id, step, global_error)
+    violations: DataFrame(rule_id, <key_col>, key, message, offending_value,
+                          rule_idx, seq) — the north-star violation rows
+    stats:      DataFrame | None (column_stats output, long format)
+    run_checks: run-level pass/fail records (drift)
+    annotated:  input DF + outcome/context columns (for debugging/explain)
+    """
+
+    key_col: str
+    verdicts: DataFrame
+    violations: DataFrame
+    annotated: DataFrame
+    stats: Optional[DataFrame] = None
+    run_checks: list[RunCheck] = field(default_factory=list)
+    context_cols: list[str] = field(default_factory=list)
+    rules: list = field(default_factory=list)
+
+    def success(self) -> bool:
+        """Run-level success: no failing rows and all run checks pass
+        (the gate Command.run applies, src/index.ts:280-289)."""
+        any_fail = self.verdicts.filter(~F.col("success")).limit(1).count() > 0
+        return not any_fail and all(c.passed for c in self.run_checks)
+
+    def single(self) -> SimpleNamespace:
+        """Parity view for 1-row inputs: mirrors the reference's validate()
+        return shape (src/index.ts:63-159) so ported specs assert verbatim."""
+        v = self.verdicts.collect()
+        assert len(v) == 1, f"single() requires exactly 1 row, got {len(v)}"
+        row = v[0].asDict()
+        bag = ErrorBag.from_rows([r.asDict() for r in self.violations.collect()])
+        rule = None
+        if row["step"] == "rules":
+            spec = self.rules[row["rule_idx"]]
+            rule = {"id": spec.id, "description": spec.description}
+        ctx = {}
+        if row["success"] and self.context_cols:
+            data = self.annotated.select(*self.context_cols).collect()[0].asDict()
+            ctx = data
+        return SimpleNamespace(success=bool(row["success"]), errors=bag,
+                               rule=rule, step=row["step"], context=ctx)
+
+
+def _merge_override(df: DataFrame, override: dict | None) -> DataFrame:
+    """B2 — opts.override assigned over the input before the schema stage
+    (src/index.ts:84-87), as a literal projection."""
+    if not override:
+        return df
+    for k, v in override.items():
+        df = df.withColumn(k, F.lit(v))
+    return df
+
+
+def run_validation(df: DataFrame, builder: ValidatorBuilder,
+                   override: dict | None = None, run_ts=None) -> ValidationResult:
+    deps = dict(builder._deps)
+    key_col = builder._key_col
+    rules = list(builder._rules)
+    spark = df.sparkSession
+
+    df = _merge_override(df, override)
+    if run_ts is None:
+        run_ts = deps.get("run_ts")
+    if run_ts is not None:
+        # deterministic 'now' (C8) — pinned per run, never Date.now()
+        df = df.withColumn("_run_ts", F.lit(run_ts).cast("timestamp"))
+
+    # ---- schema stage (B3/B4) --------------------------------------------
+    constraints = builder._schema.constraints if builder._schema else []
+    df = df.withColumn("_schema_em", C.schema_emissions(constraints))
+    fail_branches: list[tuple[int, Column]] = []  # (rule_idx, failed?) in order
+    schema_failed = F.size("_schema_em") > 0
+
+    def current_fail_filter() -> Column:
+        cond = schema_failed
+        for i, _ in fail_branches:
+            cond = cond | ~F.col(f"_r{i}")["ok"]
+        return ~cond  # rows still on the frontier
+
+    context_cols: list[str] = []
+    run_checks: list[RunCheck] = []
+    stats_df: Optional[DataFrame] = None
+
+    # ---- rule stages, in declaration order (B5) ---------------------------
+    for i, rule in enumerate(rules):
+        oc_col = f"_r{i}"
+        if isinstance(rule, FieldRule):
+            df = df.withColumn(oc_col, C.field_rule_outcome(rule))
+
+        elif isinstance(rule, ReferentialRule):
+            dim = deps.get(rule.dim)
+            invariant(dim is not None,
+                      f"Dependency '{rule.dim}' must be provided for rule "
+                      f"'{rule.id}'")
+            lookup = (F.expr(rule.derive) if isinstance(rule.derive, str)
+                      else rule.derive) if rule.derive is not None \
+                else F.col(rule.col)
+            kcol = f"_lk{i}"
+            df = df.withColumn(kcol, lookup)
+            dimk = dim.select(F.col(rule.dim_key).alias(kcol)).distinct() \
+                      .withColumn(f"_hit{i}", F.lit(True))
+            df = df.join(F.broadcast(dimk), on=kcol, how="left")
+            hit = F.col(f"_hit{i}").isNotNull()
+            failed = hit if rule.anti else ~hit
+            if rule.guard is not None:
+                failed = F.when(C.as_pred(rule.guard), failed).otherwise(F.lit(False))
+            df = df.withColumn(oc_col, C.outcome_from_flag(
+                failed, None if rule.global_error else rule.col,
+                rule.message, value=F.col(kcol)))
+
+        elif isinstance(rule, EnrichRule):
+            dim = deps.get(rule.dim)
+            invariant(dim is not None,
+                      f"Dependency '{rule.dim}' must be provided for rule "
+                      f"'{rule.id}'")
+            proj = [F.col(rule.dim_key).alias("_ek")]
+            out_names = []
+            for a in rule.adds:
+                name = f"{rule.prefix}{a}"
+                proj.append(F.col(a).alias(name))
+                out_names.append(name)
+            dimp = dim.select(*proj).withColumn(f"_ehit{i}", F.lit(True))
+            # shallow-merge-overwrite (src/index.ts:141-151): joined columns
+            # replace same-named existing context columns
+            clash = [n for n in out_names if n in df.columns]
+            if clash:
+                df = df.drop(*clash)
+            df = df.join(F.broadcast(dimp),
+                         on=F.col(rule.on) == F.col("_ek"), how="left") \
+                   .drop("_ek")
+            miss = F.col(f"_ehit{i}").isNull()
+            failed = miss if rule.required else F.lit(False)
+            df = df.withColumn(oc_col, C.outcome_from_flag(
+                failed, None, rule.message, value=F.col(rule.on)))
+            context_cols.extend(n for n in out_names if n not in context_cols)
+
+        elif isinstance(rule, UniqueRule):
+            # dataset-level: computed over the frontier only (hard part a)
+            frontier = df.filter(current_fail_filter())
+            dups = duplicate_keys(frontier, rule.col,
+                                  salt_buckets=rule.salt_buckets)
+            dups = dups.select(F.col(rule.col).alias(f"_dk{i}"),
+                               F.col("cnt").alias(f"_dcnt{i}"))
+            df = df.join(F.broadcast(dups),
+                         on=F.col(rule.col) == F.col(f"_dk{i}"), how="left")
+            failed = F.col(f"_dk{i}").isNotNull()
+            msg = rule.message or F.format_string(
+                "Duplicate value for %s: %s (%d occurrences)",
+                F.lit(rule.col), F.col(rule.col), F.col(f"_dcnt{i}"))
+            df = df.withColumn(oc_col, C.outcome_from_flag(
+                failed, rule.col, msg, value=F.col(rule.col)))
+
+        elif isinstance(rule, ArrayAllRule):
+            df = _array_all_stage(df, deps, rule, i, key_col)
+
+        elif isinstance(rule, ColumnStatsRule):
+            frontier = df.filter(current_fail_filter())
+            stats_df = column_stats(frontier, rule.cols, hll_rsd=rule.hll_rsd,
+                                    hist_bins=rule.hist_bins,
+                                    hist_cols=rule.hist_cols)
+            df = df.withColumn(oc_col, C.outcome_from_flag(
+                F.lit(False), None, ""))
+
+        elif isinstance(rule, DriftKLRule):
+            baseline = deps.get(rule.baseline)
+            invariant(baseline is not None,
+                      f"Dependency '{rule.baseline}' must be provided for rule "
+                      f"'{rule.id}'")
+            frontier = df.filter(current_fail_filter())
+            kl = kl_divergence(frontier, rule.col, C.as_pred(rule.bucket_expr),
+                               baseline, smoothing=rule.smoothing)
+            run_checks.append(RunCheck(rule_id=rule.id, metric="kl_divergence",
+                                       value=kl, threshold=rule.threshold,
+                                       passed=kl <= rule.threshold))
+            df = df.withColumn(oc_col, C.outcome_from_flag(
+                F.lit(False), None, ""))
+
+        elif isinstance(rule, CustomPandasRule):
+            invariant(rule.make_check is not None,
+                      f"custom_pandas rule '{rule.id}' needs make_check")
+            df, failed, key, message, value = rule.make_check(df, deps)
+            df = df.withColumn(oc_col, C.outcome_from_flag(
+                failed, key, message, value=value))
+
+        else:  # pragma: no cover
+            raise NotImplementedError(f"rule kind {type(rule).__name__}")
+
+        fail_branches.append((i, rule))
+
+    # ---- verdict: first failure by rule index (B5 fail-fast) -------------
+    fail_struct = F.when(schema_failed, F.struct(
+        F.lit(-1).alias("idx"), F.lit("schema").alias("step")))
+    for i, _ in fail_branches:
+        fail_struct = fail_struct.when(~F.col(f"_r{i}")["ok"], F.struct(
+            F.lit(i).alias("idx"), F.lit("rules").alias("step")))
+    df = df.withColumn("_fail", fail_struct)
+
+    # emissions of the failing stage only (the reference's bag contains only
+    # the first failing rule's errors — earlier rules passed, later never ran)
+    em = F.when(F.col("_fail")["idx"] == -1, F.col("_schema_em"))
+    for i, _ in fail_branches:
+        em = em.when(F.col("_fail")["idx"] == i, F.col(f"_r{i}")["emissions"])
+    df = df.withColumn("_em", F.coalesce(em, C.empty_emissions()))
+
+    rule_id_expr = F.lit(None).cast("string")
+    for i, rule in fail_branches:
+        rule_id_expr = F.when(F.col("_fail")["idx"] == i, F.lit(rule.id)) \
+                        .otherwise(rule_id_expr)
+
+    globals_em = F.filter(F.col("_em"), lambda e: e["key"].isNull())
+    global_error = F.element_at(globals_em, -1)["message"]  # last wins (B10)
+
+    annotated = df
+    verdicts = df.select(
+        F.col(key_col),
+        F.col("_fail").isNull().alias("success"),
+        F.col("_fail")["idx"].alias("rule_idx"),
+        rule_id_expr.alias("rule_id"),
+        F.col("_fail")["step"].alias("step"),
+        global_error.alias("global_error"),
+    )
+    violations = (
+        df.filter(F.col("_fail").isNotNull())
+          .select(F.col(key_col),
+                  F.col("_fail")["idx"].alias("rule_idx"),
+                  rule_id_expr.alias("rule_id"),
+                  F.explode(F.col("_em")).alias("e"))
+          .select("rule_id", key_col,
+                  F.col("e")["key"].alias("key"),
+                  F.col("e")["message"].alias("message"),
+                  F.col("e")["value"].alias("offending_value"),
+                  "rule_idx", F.col("e")["seq"].alias("seq"))
+    )
+
+    return ValidationResult(key_col=key_col, verdicts=verdicts,
+                            violations=violations, annotated=annotated,
+                            stats=stats_df, run_checks=run_checks,
+                            context_cols=context_cols, rules=rules)
+
+
+def _array_all_stage(df: DataFrame, deps: dict, rule: ArrayAllRule, i: int,
+                     key_col: str) -> DataFrame:
+    """C9 — explode items, broadcast-join dim, aggregate ordered offender list
+    into one message (src/order-cancellation.example.ts:123-145: message is
+    offenders joined with ', ' in array position order)."""
+    dim = deps.get(rule.dim)
+    invariant(dim is not None,
+              f"Dependency '{rule.dim}' must be provided for rule '{rule.id}'")
+    items = df.select(F.col(key_col).alias("_ak"),
+                      F.posexplode(rule.items_col).alias("_pos", "_item"))
+    joined = items.join(
+        F.broadcast(dim),
+        items["_item"][rule.item_key] == dim[rule.dim_key], "left")
+    offender_flag = ~F.coalesce(F.col(rule.flag_col),
+                                F.lit(bool(rule.missing_ok)))
+    fmt = F.format_string(rule.item_fmt, *[F.col(c) for c in rule.fmt_cols])
+    agg = (joined.filter(offender_flag)
+                 .groupBy("_ak")
+                 .agg(F.concat_ws(", ", F.transform(
+                     F.array_sort(F.collect_list(F.struct(
+                         F.col("_pos").alias("p"), fmt.alias("m")))),
+                     lambda x: x["m"])).alias(f"_off{i}")))
+    df = df.join(F.broadcast(agg), on=F.col(key_col) == F.col("_ak"),
+                 how="left").drop("_ak")
+    failed = F.col(f"_off{i}").isNotNull()
+    msg = F.concat(F.lit(rule.message_prefix), F.coalesce(
+        F.col(f"_off{i}"), F.lit("")))
+    return df.withColumn(f"_r{i}", C.outcome_from_flag(
+        failed, None if rule.global_error else rule.items_col, msg,
+        value=F.col(f"_off{i}")))

@@ -1,0 +1,65 @@
+"""Per-column statistics in one aggregate pass (north_star metrics).
+
+For each requested column: null-rate, distinct-count (HyperLogLog++ via
+approx_count_distinct — mergeable sketches, partial+final hash aggregation),
+min/max. String columns additionally get length histograms
+(floor(length/bin_width) buckets) via a single groupBy.
+
+Everything is built-in Spark aggregate expressions — map-side partial
+aggregation means one shuffle of O(columns) partial states per partition, no
+per-row Python, scales linearly with input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STATS_SCHEMA = ("col string, null_rate double, n_distinct bigint, "
+                "min_value string, max_value string")
+
+
+def column_stats(df: DataFrame, cols: list[str], hll_rsd: float = 0.05,
+                 hist_bins: int = 10, hist_cols: list[str] | None = None,
+                 exact_distinct: bool = False) -> DataFrame:
+    """Long-format stats table: (col, null_rate, n_distinct, min_value,
+    max_value). One wide aggregate → unpivoted driver-side (k columns → k
+    rows; the aggregate itself is a single Spark job)."""
+    aggs = []
+    for c in cols:
+        aggs.append(F.avg(F.col(c).isNull().cast("double")).alias(f"nr_{c}"))
+        if exact_distinct:
+            aggs.append(F.countDistinct(F.col(c)).alias(f"nd_{c}"))
+        else:
+            aggs.append(F.approx_count_distinct(F.col(c), rsd=hll_rsd)
+                        .alias(f"nd_{c}"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"mn_{c}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"mx_{c}"))
+    wide = df.agg(*aggs)
+    # unpivot the single wide row into long format with one stack() expr —
+    # still lazy, no collect
+    parts = ", ".join(
+        f"'{c}', `nr_{c}`, `nd_{c}`, `mn_{c}`, `mx_{c}`" for c in cols)
+    long = wide.selectExpr(
+        f"stack({len(cols)}, {parts}) as "
+        "(col, null_rate, n_distinct, min_value, max_value)")
+    return long
+
+
+def length_histogram(df: DataFrame, col: str, bin_width: int = 50) -> DataFrame:
+    """Histogram of string lengths: (bucket bigint, n bigint); bucket =
+    floor(length(col)/bin_width). NULLs excluded (they're in null_rate)."""
+    return (df.filter(F.col(col).isNotNull())
+              .groupBy(F.floor(F.length(F.col(col)) / bin_width).alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("n")))
+
+
+def partition_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-partition row counts + null counts keyed by spark_partition_id()
+    (per-partition verdict/metrics lineage for the checkpoint manifest)."""
+    aggs = [F.count(F.lit(1)).alias("rows")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"))
+    return (df.withColumn("_pid", F.spark_partition_id())
+              .groupBy("_pid").agg(*aggs)
+              .withColumnRenamed("_pid", "partition_id"))
