@@ -1,0 +1,116 @@
+"""The flagship validation suite for the Common-Crawl-style pages table.
+
+This is the "full rule suite" of BASELINE.json: schema predicates, field
+rules, temporal window, ISO-639 referential broadcast join, salted uniqueness
+on url, the pandas-UDF text-extraction byte-identity rule, per-column stats,
+and KL drift vs a baseline snapshot — all in declaration order with the
+reference's fail-fast verdict semantics.
+
+Rule constants are shared with the DuckDB oracle (oracle.py) so the two
+sides stay in lockstep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.extraction import extraction_check
+from .model import CustomPandasRule, FieldConstraint, ValidatorBuilder, \
+    build_validator
+from .operators.drift import baseline_snapshot
+from .operators.uniqueness import duplicate_keys
+from .sources.dims import iso_lang_dim
+from .sources.pages import load_pages
+
+# shared rule constants (mirrored into the oracle SQL)
+URL_RE = "^https?://"
+TEXT_LEN_MIN, TEXT_LEN_MAX = 10, 100000
+TS_MIN, TS_MAX = 1704067200, 1735689600  # [2024-01-01, 2025-01-01) UTC
+MSG_URL = "URL must be http(s)"
+MSG_TEXT_NULL = "text is required"
+MSG_TEXT_LEN = "text length out of range"
+MSG_LANG = "lang is not a valid ISO-639-1 code"
+MSG_TS = "warc_ts out of expected crawl window"
+STATS_COLS = ["url", "text", "lang"]
+
+
+def pages_validator(spark: SparkSession,
+                    with_stats: bool = True,
+                    with_drift: bool = True,
+                    with_extraction: bool = True):
+    """Build the flagship validator + its deps dict (baseline filled later)."""
+    v = (build_validator()
+         .input(constraints=[
+             FieldConstraint("url", f"url rlike '{URL_RE}'", MSG_URL),
+         ], key_col="url")
+         .deps("iso_lang", "baseline_stats")
+         .field_rule("text-not-null", "text IS NOT NULL", MSG_TEXT_NULL,
+                     key="text",
+                     description="text column must be present")
+         .field_rule("text-length",
+                     f"length(text) BETWEEN {TEXT_LEN_MIN} AND {TEXT_LEN_MAX}",
+                     MSG_TEXT_LEN, key="text", value="length(text)",
+                     description="extracted text length sanity range")
+         .referential("lang", dim="iso_lang", dim_key="lang_code",
+                      message=MSG_LANG, id="lang-iso",
+                      description="lang must be a valid ISO-639-1 code")
+         .field_rule("warc-ts-window",
+                     f"warc_epoch BETWEEN {TS_MIN} AND {TS_MAX}",
+                     MSG_TS, key="warc_ts", value="warc_epoch",
+                     description="crawl timestamp inside the expected window")
+         .unique("url", id="unique-url",
+                 description="url must be unique within the crawl"))
+    if with_extraction:
+        v = v.rule(CustomPandasRule(
+            id="extract-byte-identity",
+            description="html->text extraction must be byte-identical",
+            make_check=extraction_check()))
+    if with_stats:
+        v = v.column_stats(STATS_COLS, hist_cols=["text"])
+    if with_drift:
+        v = v.drift_kl("lang", "coalesce(lang, '∅')", baseline="baseline_stats",
+                       threshold=0.05, id="drift-lang")
+    deps = {"iso_lang": iso_lang_dim(spark), "baseline_stats": None}
+    return v, deps
+
+
+def valid_pages(pages: DataFrame, iso_dim: DataFrame) -> DataFrame:
+    """Rows passing the per-row validity rules — the frontier the engine's
+    dataset-level rules see just before unique-url (oracle 'fr')."""
+    return (pages
+            .filter(F.expr(f"url rlike '{URL_RE}'"))
+            .filter(F.col("text").isNotNull())
+            .filter(F.length("text").between(TEXT_LEN_MIN, TEXT_LEN_MAX))
+            .filter(F.col("warc_epoch").between(TS_MIN, TS_MAX))
+            .join(F.broadcast(iso_dim.select(F.col("lang_code").alias("lang"))),
+                  on="lang", how="left_semi"))
+
+
+def frontier_after_unique(pages: DataFrame, iso_dim: DataFrame) -> DataFrame:
+    """Post-unique frontier (oracle 'frontier'): valid rows whose url is not
+    duplicated — the population for stats/histogram/drift."""
+    fr = valid_pages(pages, iso_dim)
+    dups = duplicate_keys(fr, "url").select("url")
+    return fr.join(F.broadcast(dups), on="url", how="left_anti")
+
+
+def make_baseline(pages: DataFrame, replicas: int,
+                  iso_dim: DataFrame) -> DataFrame:
+    """Baseline snapshot = the validated first-replica slice of the same table
+    (a deterministic stand-in for 'the previous crawl's histogram'). Validity
+    filters applied so the snapshot is distributed like the engine's frontier."""
+    first = valid_pages(pages.filter(F.col("rid") % replicas == 0), iso_dim)
+    return baseline_snapshot(first, {
+        "lang": F.coalesce(F.col("lang"), F.lit("∅")),
+    })
+
+
+def run_suite(spark: SparkSession, sf_dir: str, replicas: int = 4, **kwargs):
+    """Load pages, build + bind the validator, run it. Returns
+    (pages, ValidationResult)."""
+    pages = load_pages(spark, sf_dir, replicas=replicas)
+    v, deps = pages_validator(spark, **kwargs)
+    deps["baseline_stats"] = make_baseline(pages, replicas, deps["iso_lang"])
+    v.provide(**deps)
+    return pages, v.validate(pages)

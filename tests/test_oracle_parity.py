@@ -1,0 +1,78 @@
+"""Local replica of the driver's correctness gate: every queries() entry run
+via Spark must match its oracle_sql() DuckDB equivalent at sf0.01 —
+row count, column names, and order-insensitive values (SURVEY.md §5.2 item 2).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+from .conftest import SF_DIR
+
+
+def _normalize(rows, cols):
+    """Order-insensitive canonical form: rows as tuples of repr-strings in
+    sorted column order, then sorted."""
+    out = []
+    for r in rows:
+        vals = []
+        for c in cols:
+            v = r[c]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    vals.append("NaN")
+                else:
+                    vals.append(f"{v:.10g}")
+            elif isinstance(v, bool):
+                vals.append(str(bool(v)))
+            elif v is None:
+                vals.append("∅NULL∅")
+            else:
+                vals.append(str(v))
+        out.append(tuple(vals))
+    out.sort()
+    return out
+
+
+def _run_oracle(sql: str):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    rows = [dict(zip(cols, r)) for r in cur.fetchall()]
+    con.close()
+    return cols, rows
+
+
+QUERIES = sorted(entrymod.queries().keys())
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_query_matches_oracle(spark, name):
+    qfn = entrymod.queries()[name]
+    sql = entrymod.oracle_sql().get(name)
+    assert sql is not None, f"no oracle for {name}"
+
+    sdf = qfn(spark, SF_DIR)
+    s_cols = sorted(sdf.columns)
+    s_rows = [r.asDict() for r in sdf.collect()]
+
+    o_cols, o_rows = _run_oracle(sql)
+    assert sorted(o_cols) == s_cols, (
+        f"column mismatch: spark={s_cols} oracle={sorted(o_cols)}")
+    assert len(s_rows) == len(o_rows), (
+        f"row count mismatch: spark={len(s_rows)} oracle={len(o_rows)}")
+
+    sn = _normalize(s_rows, s_cols)
+    on = _normalize(o_rows, s_cols)
+    if sn != on:
+        diff_s = [r for r in sn if r not in set(on)][:5]
+        diff_o = [r for r in on if r not in set(sn)][:5]
+        pytest.fail(f"value mismatch for {name}:\n spark-only={diff_s}\n "
+                    f"oracle-only={diff_o}")
