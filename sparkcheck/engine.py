@@ -26,6 +26,7 @@ from typing import Any, Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from . import compile as C
 from .errors import ErrorBag
@@ -68,6 +69,12 @@ class ValidationResult:
     run_checks: list[RunCheck] = field(default_factory=list)
     context_cols: list[str] = field(default_factory=list)
     rules: list = field(default_factory=list)
+    _persisted: list = field(default_factory=list)
+
+    def unpersist(self) -> None:
+        for p in self._persisted:
+            p.unpersist()
+        self._persisted = []
 
     def success(self) -> bool:
         """Run-level success: no failing rows and all run checks pass
@@ -105,7 +112,9 @@ def _merge_override(df: DataFrame, override: dict | None) -> DataFrame:
 
 
 def run_validation(df: DataFrame, builder: ValidatorBuilder,
-                   override: dict | None = None, run_ts=None) -> ValidationResult:
+                   override: dict | None = None, run_ts=None,
+                   persist: bool = True,
+                   persist_drop: list[str] | None = None) -> ValidationResult:
     deps = dict(builder._deps)
     key_col = builder._key_col
     rules = list(builder._rules)
@@ -133,10 +142,32 @@ def run_validation(df: DataFrame, builder: ValidatorBuilder,
     context_cols: list[str] = []
     run_checks: list[RunCheck] = []
     stats_df: Optional[DataFrame] = None
+    persisted: list = []
+    deferred: list = []  # (rule, frontier_cond) evaluated on the final frame
+
+    def _materialize_point(d: DataFrame) -> DataFrame:
+        """Persist at the first VERDICT-AFFECTING dataset-level rule (unique):
+        its aggregate subtree and the main chain both reuse one computation of
+        the per-row stage (scan + joins + pandas UDF) instead of two.
+        MEMORY_AND_DISK so a large run degrades to disk spill, not OOM; at
+        cluster scale this point is equivalently a write of the annotated
+        frame to a staging table. Disable with persist=False."""
+        nonlocal persisted
+        if persist and not persisted:
+            if persist_drop:
+                # prune heavy columns no later stage references (e.g. raw
+                # html after extraction) — the persisted footprint is the
+                # dominant cost at scale
+                d = d.drop(*persist_drop)
+            d = d.persist(StorageLevel.MEMORY_AND_DISK)
+            persisted.append(d)
+        return d
 
     # ---- rule stages, in declaration order (B5) ---------------------------
     for i, rule in enumerate(rules):
         oc_col = f"_r{i}"
+        if isinstance(rule, UniqueRule):
+            df = _materialize_point(df)
         if isinstance(rule, FieldRule):
             df = df.withColumn(oc_col, C.field_rule_outcome(rule))
 
@@ -184,7 +215,7 @@ def run_validation(df: DataFrame, builder: ValidatorBuilder,
             miss = F.col(f"_ehit{i}").isNull()
             failed = miss if rule.required else F.lit(False)
             df = df.withColumn(oc_col, C.outcome_from_flag(
-                failed, None, rule.message, value=F.col(rule.on)))
+                failed, rule.key, rule.message, value=F.col(rule.on)))
             context_cols.extend(n for n in out_names if n not in context_cols)
 
         elif isinstance(rule, UniqueRule):
@@ -206,25 +237,16 @@ def run_validation(df: DataFrame, builder: ValidatorBuilder,
         elif isinstance(rule, ArrayAllRule):
             df = _array_all_stage(df, deps, rule, i, key_col)
 
-        elif isinstance(rule, ColumnStatsRule):
-            frontier = df.filter(current_fail_filter())
-            stats_df = column_stats(frontier, rule.cols, hll_rsd=rule.hll_rsd,
-                                    hist_bins=rule.hist_bins,
-                                    hist_cols=rule.hist_cols)
-            df = df.withColumn(oc_col, C.outcome_from_flag(
-                F.lit(False), None, ""))
-
-        elif isinstance(rule, DriftKLRule):
-            baseline = deps.get(rule.baseline)
-            invariant(baseline is not None,
-                      f"Dependency '{rule.baseline}' must be provided for rule "
-                      f"'{rule.id}'")
-            frontier = df.filter(current_fail_filter())
-            kl = kl_divergence(frontier, rule.col, C.as_pred(rule.bucket_expr),
-                               baseline, smoothing=rule.smoothing)
-            run_checks.append(RunCheck(rule_id=rule.id, metric="kl_divergence",
-                                       value=kl, threshold=rule.threshold,
-                                       passed=kl <= rule.threshold))
+        elif isinstance(rule, (ColumnStatsRule, DriftKLRule)):
+            # metrics rules never fail rows — snapshot their frontier
+            # condition now (it only references _r{j} j<i, all present in the
+            # final frame) and evaluate against the final persisted frame so
+            # their aggregates don't re-run the upstream per action
+            if isinstance(rule, DriftKLRule):
+                invariant(deps.get(rule.baseline) is not None,
+                          f"Dependency '{rule.baseline}' must be provided for "
+                          f"rule '{rule.id}'")
+            deferred.append((rule, current_fail_filter()))
             df = df.withColumn(oc_col, C.outcome_from_flag(
                 F.lit(False), None, ""))
 
@@ -239,6 +261,24 @@ def run_validation(df: DataFrame, builder: ValidatorBuilder,
             raise NotImplementedError(f"rule kind {type(rule).__name__}")
 
         fail_branches.append((i, rule))
+
+    # ---- deferred metrics rules --------------------------------------------
+    # Evaluated on the final frame (which reads from the persist point):
+    # downstream work per action is only the broadcast dup-flag join + a
+    # projection — cheap to recompute, so no second persist (serializing the
+    # annotated frame twice costs more than it saves).
+    for rule, cond in deferred:
+        frontier = df.filter(cond)
+        if isinstance(rule, ColumnStatsRule):
+            stats_df = column_stats(frontier, rule.cols, hll_rsd=rule.hll_rsd,
+                                    hist_bins=rule.hist_bins,
+                                    hist_cols=rule.hist_cols)
+        else:
+            kl = kl_divergence(frontier, rule.col, C.as_pred(rule.bucket_expr),
+                               deps[rule.baseline], smoothing=rule.smoothing)
+            run_checks.append(RunCheck(rule_id=rule.id, metric="kl_divergence",
+                                       value=kl, threshold=rule.threshold,
+                                       passed=kl <= rule.threshold))
 
     # ---- verdict: first failure by rule index (B5 fail-fast) -------------
     fail_struct = F.when(schema_failed, F.struct(
@@ -261,7 +301,8 @@ def run_validation(df: DataFrame, builder: ValidatorBuilder,
                         .otherwise(rule_id_expr)
 
     globals_em = F.filter(F.col("_em"), lambda e: e["key"].isNull())
-    global_error = F.element_at(globals_em, -1)["message"]  # last wins (B10)
+    # last global emission wins (B10); try_element_at → NULL on empty (ANSI)
+    global_error = F.try_element_at(globals_em, F.lit(-1))["message"]
 
     annotated = df
     verdicts = df.select(
@@ -288,7 +329,8 @@ def run_validation(df: DataFrame, builder: ValidatorBuilder,
     return ValidationResult(key_col=key_col, verdicts=verdicts,
                             violations=violations, annotated=annotated,
                             stats=stats_df, run_checks=run_checks,
-                            context_cols=context_cols, rules=rules)
+                            context_cols=context_cols, rules=rules,
+                            _persisted=persisted)
 
 
 def _array_all_stage(df: DataFrame, deps: dict, rule: ArrayAllRule, i: int,

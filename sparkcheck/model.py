@@ -158,6 +158,7 @@ class EnrichRule(RuleSpec):
     required: bool = True
     message: ColumnLike = ""  # emitted on miss when required
     prefix: str = ""  # optional rename prefix for added context columns
+    key: Optional[str] = None  # violation key; None → global error on miss
     kind: str = "enrich"
 
 
@@ -308,11 +309,12 @@ class ValidatorBuilder:
 
     def enrich(self, id: str, dim: str, on: str, dim_key: str,
                adds: list[str], message: ColumnLike = "", required: bool = True,
-               prefix: str = "", description: str = "") -> "ValidatorBuilder":
+               prefix: str = "", key: str | None = None,
+               description: str = "") -> "ValidatorBuilder":
         return self.rule(EnrichRule(id=id, description=description, dim=dim,
                                     on=on, dim_key=dim_key, adds=adds,
                                     required=required, message=message,
-                                    prefix=prefix))
+                                    prefix=prefix, key=key))
 
     def column_stats(self, cols: list[str], id: str = "column-stats",
                      hll_rsd: float = 0.05, hist_bins: int = 10,
@@ -341,7 +343,8 @@ class ValidatorBuilder:
 
     # -- execution ----------------------------------------------------------
 
-    def validate(self, df, override: dict | None = None, run_ts=None):
+    def validate(self, df, override: dict | None = None, run_ts=None,
+                 persist: bool = True, persist_drop: list[str] | None = None):
         """Gate checks with the reference's exact messages
         (src/index.ts:431-438), then delegate to the engine."""
         invariant(self._deps_status != "required",
@@ -349,7 +352,8 @@ class ValidatorBuilder:
         invariant(self._schema is not None,
                   "Schema must be defined before calling validate")
         from .engine import run_validation
-        return run_validation(df, self, override=override, run_ts=run_ts)
+        return run_validation(df, self, override=override, run_ts=run_ts,
+                              persist=persist, persist_drop=persist_drop)
 
     def command(self, execute: Callable[..., Any]):
         """Attach the post-validation action (A6; src/index.ts:483-492)."""

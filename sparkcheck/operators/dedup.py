@@ -1,0 +1,152 @@
+"""Deduplication operators for training-data pipelines: exact (hash-groupBy),
+MinHash+LSH (shingle → minhash → band → bucket-join), n-gram Jaccard
+verification, SimHash. (Beyond the reference's surface — first-class
+components per the build brief.)
+
+Scale design: exact dedup is a map-side-combining hash aggregate on the text
+hash; MinHash signatures are computed with higher-order array functions (no
+explode — one pass, no shuffle until the band-bucket groupBy); candidate
+generation shuffles only (band, bucket) pairs; Jaccard verification touches
+candidate pairs only (a broadcast-joinable set when near-dup density is sane).
+
+Portability: min-hashes are the lexicographic MIN of fixed-width md5 hex
+strings (numeric min == string min for fixed-length hex), so the DuckDB
+oracle reproduces signatures byte-for-byte — no engine-specific hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_K = 8      # minhash functions
+DEFAULT_BANDS = 4  # bands (rows per band = K // BANDS)
+SHINGLE = 3        # word-shingle width
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") \
+        -> DataFrame:
+    """Exact dedup groups: (text_hash, n_docs, min_id) for texts appearing
+    more than once. One hash aggregate (partial+final)."""
+    return (df.filter(F.col(text_col).isNotNull())
+              .groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.min(id_col).alias("min_id"))
+              .filter(F.col("n_docs") > 1))
+
+
+def shingles(text_col: str, width: int = SHINGLE):
+    """Word w-shingles via higher-order functions (no explode)."""
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    return F.when(n >= width, F.transform(
+        F.sequence(F.lit(1), n - width + 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i, width)))
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def minhash_signature(text_col: str, k: int = DEFAULT_K,
+                      width: int = SHINGLE):
+    """Array of k min-hashes; hash_j(s) = md5('{j}:' || s) (hex string min)."""
+    sh = shingles(text_col, width)
+
+    def hash_fn(j):
+        # factory closure — a default-arg lambda would be seen as a 2-arg
+        # (element, index) higher-order function by pyspark
+        return lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))
+
+    return F.array(*[
+        F.array_min(F.transform(sh, hash_fn(j))) for j in range(k)])
+
+
+def with_minhash(df: DataFrame, id_col: str, text_col: str = "text",
+                 k: int = DEFAULT_K, bands: int = DEFAULT_BANDS) -> DataFrame:
+    """(id, band, bucket): one row per band; bucket = md5 of the band's
+    signature slice."""
+    rows = k // bands
+    sig = minhash_signature(text_col, k)
+    d = (df.filter(F.col(text_col).isNotNull())
+           .select(F.col(id_col).alias("id"), sig.alias("sig")))
+    band_structs = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.md5(F.concat_ws("|", *[
+                     F.col("sig")[b * rows + r] for r in range(rows)]))
+                 .alias("bucket"))
+        for b in range(bands)])
+    return (d.select("id", F.explode(band_structs).alias("bb"))
+             .select("id", F.col("bb")["band"].alias("band"),
+                     F.col("bb")["bucket"].alias("bucket")))
+
+
+def minhash_candidates(df: DataFrame, id_col: str, text_col: str = "text",
+                       k: int = DEFAULT_K, bands: int = DEFAULT_BANDS) \
+        -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH bucket.
+    Self-join is bucket-local: groupBy collects ids per (band,bucket), pairs
+    are generated inside each bucket (buckets are small by construction;
+    pathological mega-buckets indicate true mass-duplication and surface in
+    the exact-dup check first)."""
+    bb = with_minhash(df, id_col, text_col, k, bands)
+    grouped = (bb.groupBy("band", "bucket")
+                 .agg(F.array_sort(F.collect_set("id")).alias("ids"))
+                 .filter(F.size("ids") > 1))
+    pairs = grouped.select(F.explode(F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), y -> "
+        "struct(x as id_a, y as id_b))))")).alias("p"))
+    return (pairs.select(F.col("p")["id_a"].alias("id_a"),
+                         F.col("p")["id_b"].alias("id_b"))
+                 .distinct())
+
+
+def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str,
+                  text_col: str = "text", width: int = SHINGLE) -> DataFrame:
+    """Jaccard similarity of word-shingle sets for candidate pairs:
+    (id_a, id_b, jaccard rounded 4dp). Joins the (small) candidate set to the
+    corpus twice — broadcast the pairs, not the corpus."""
+    sh = (df.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("_jid"),
+                    F.array_distinct(shingles(text_col, width)).alias("_sh")))
+    a = sh.select(F.col("_jid").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col("_jid").alias("id_b"), F.col("_sh").alias("sh_b"))
+    j = (F.size(F.array_intersect("sh_a", "sh_b")) /
+         F.size(F.array_union("sh_a", "sh_b")))
+    j4 = F.floor(j * 10000 + F.lit(0.5)) / 10000.0  # cross-engine-stable 4dp
+    return (pairs.join(a, "id_a").join(b, "id_b")
+                 .select("id_a", "id_b", j4.alias("jaccard")))
+
+
+def simhash_bits(text_col: str = "text", bits: int = 32):
+    """SimHash as pure SQL: per token t, md5(t) supplies `bits` hex nibbles;
+    bit_i = (nibble_i & 1). Weighted sum over tokens per bit → sign →
+    fingerprint int. Pure higher-order functions, portable formulation, but
+    O(bits) expressions — default 32 bits keeps codegen sane."""
+    words = F.split(F.col(text_col), " ")
+    hashes = F.transform(words, lambda w: F.md5(w))
+    def vote_fn(i):
+        # +1 when hex nibble i is odd else -1, summed over tokens
+        # (factory closure — a default-arg lambda would change the arity
+        # pyspark infers for the higher-order function)
+        def merge(acc, h):
+            return acc + F.when(
+                F.substring(h, i + 1, 1).isin(
+                    "1", "3", "5", "7", "9", "b", "d", "f"),
+                F.lit(1)).otherwise(F.lit(-1))
+        return merge
+
+    bit_cols = []
+    for i in range(bits):
+        votes = F.aggregate(hashes, F.lit(0), vote_fn(i))
+        bit_cols.append(F.when(votes > 0, F.lit(1)).otherwise(F.lit(0))
+                        * F.lit(2 ** i))
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out + c
+    return out.cast("bigint")
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str = "text",
+            bits: int = 32) -> DataFrame:
+    return (df.filter(F.col(text_col).isNotNull())
+              .select(F.col(id_col).alias("id"),
+                      simhash_bits(text_col, bits).alias("simhash")))

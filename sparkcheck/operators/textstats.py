@@ -1,0 +1,96 @@
+"""Text-analysis operators for training-data pipelines over the `documents`
+table: token counting, language-ID heuristic, quality scoring, document
+fingerprinting. (Beyond the reference's surface — first-class components per
+the build brief; the reference has no text ops at all.)
+
+Every operator is a pure Spark-SQL expression pipeline (whole-stage codegen,
+no Python in the hot path) with a DuckDB-portable formulation so each has a
+driver oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny embedded stopword lists for the lang-id heuristic (public knowledge)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "es", "por"],
+    "de": ["der", "die", "das", "und", "zu", "in", "den", "von", "ist", "mit"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "une", "est", "pour"],
+}
+
+
+def round4(col):
+    """Cross-engine-stable 4dp rounding: floor(x·1e4 + 0.5)/1e4 gives
+    identical results wherever the input doubles are bit-identical, unlike
+    engine round() (HALF_UP vs banker's divergence at boundaries)."""
+    return F.floor(col * 10000 + F.lit(0.5)) / 10000.0
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds `tokens` (split on single space — the corpus is space-joined)."""
+    return df.withColumn("tokens", F.split(F.col(text_col), " "))
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens) — whitespace token count; NULL text → 0 tokens."""
+    n = F.when(F.col(text_col).isNull(), F.lit(0)) \
+         .otherwise(F.size(F.split(F.col(text_col), " ")))
+    return df.select("doc_id", n.alias("n_tokens"))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, avg_token_len, stopword_ratio, quality) — a
+    length/stopword composite in [0,1], rounded to 4dp. Deterministic,
+    portable arithmetic (doubles)."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks).cast("double")
+    avg_len = (F.length(F.col(text_col)) - (F.size(toks) - 1)) / n
+    sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    ratio = hits / n
+    quality = round4(
+        F.least(n / 100.0, F.lit(1.0)) * 0.5
+        + F.least(avg_len / 8.0, F.lit(1.0)) * 0.3
+        + F.least(ratio * 5.0, F.lit(1.0)) * 0.2)
+    return (df.filter(F.col(text_col).isNotNull())
+              .select("doc_id",
+                      F.size(toks).alias("n_tokens"),
+                      round4(avg_len).alias("avg_token_len"),
+                      round4(ratio).alias("stopword_ratio"),
+                      quality.alias("quality")))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, lang_pred) — n-gram/stopword heuristic: most stopword hits
+    wins; ties broken lexicographically; zero hits → 'und'."""
+    toks = F.split(F.col(text_col), " ")
+    scores = []
+    for lang in sorted(STOPWORDS):
+        sw = F.array([F.lit(w) for w in STOPWORDS[lang]])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    # array_max on struct: max by hits then lang — we want max hits,
+    # lexicographically SMALLEST lang on tie → compare (hits, negated-rank)
+    # instead: sort desc by hits, asc by lang via struct ordering trick
+    best = F.array_max(F.array(*[
+        F.struct(s["hits"].alias("hits"),
+                 # invert lang ordering so array_max picks lexicographically
+                 # smallest lang on equal hits
+                 F.lit(-i).alias("inv"),
+                 s["lang"].alias("lang"))
+        for i, s in enumerate(scores)]))
+    pred = F.when(best["hits"] <= 0, F.lit("und")).otherwise(best["lang"])
+    return (df.filter(F.col(text_col).isNotNull())
+              .select("doc_id", pred.alias("lang_pred")))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fp) — order-insensitive document fingerprint: md5 of the
+    sorted distinct token set. Identical token sets → identical fp."""
+    toks = F.split(F.col(text_col), " ")
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+    return (df.filter(F.col(text_col).isNotNull())
+              .select("doc_id", fp.alias("fp")))

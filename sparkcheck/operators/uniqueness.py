@@ -23,8 +23,13 @@ def duplicate_keys(df: DataFrame, col: str, salt_buckets: int = 64) -> DataFrame
     """Keys of `col` appearing more than once → DataFrame(col, cnt).
 
     Two-phase salted count: groupBy(col, salt) partial → groupBy(col) final.
+
+    The salt only needs to SPREAD a hot key's rows across reducers — the
+    final per-key sum is identical for any salt assignment — so it hashes
+    (key, partition id) only: cheap, prunable to one column, deterministic
+    for a fixed input partitioning.
     """
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+    salt = F.pmod(F.xxhash64(F.col(col), F.spark_partition_id()),
                   F.lit(salt_buckets)).alias("_salt")
     partial = (df.select(F.col(col), salt)
                  .groupBy(col, "_salt")

@@ -136,6 +136,155 @@ SELECT url, sha256(regexp_extract(decode(html), '<p>(.*)</p>', 1)) AS extracted_
 FROM pages WHERE html IS NOT NULL"""
 
 
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (documents/embeddings tables)
+# ---------------------------------------------------------------------------
+
+EN_STOPWORDS = "['the','a','of','and','to','in','is','that','it','for']"
+_SW = {
+    "de": "['der','die','das','und','zu','in','den','von','ist','mit']",
+    "en": EN_STOPWORDS,
+    "es": "['el','la','de','y','que','en','un','una','es','por']",
+    "fr": "['le','la','de','et','que','en','un','une','est','pour']",
+}
+
+
+def token_count() -> str:
+    return ("SELECT doc_id, CAST(CASE WHEN text IS NULL THEN 0 "
+            "ELSE len(string_split(text, ' ')) END AS INT) AS n_tokens "
+            "FROM documents")
+
+
+def quality_score() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n
+  FROM documents WHERE text IS NOT NULL)
+SELECT doc_id,
+  CAST(len(toks) AS INT) AS n_tokens,
+  FLOOR(((length(text) - (len(toks) - 1)) / n) * 10000 + 0.5) / 10000.0
+    AS avg_token_len,
+  FLOOR((len(list_filter(toks, x -> list_contains({EN_STOPWORDS}, x))) / n)
+        * 10000 + 0.5) / 10000.0 AS stopword_ratio,
+  FLOOR((least(n / 100.0, 1.0) * 0.5
+        + least(((length(text) - (len(toks) - 1)) / n) / 8.0, 1.0) * 0.3
+        + least((len(list_filter(toks, x -> list_contains({EN_STOPWORDS}, x)))
+                 / n) * 5.0, 1.0) * 0.2) * 10000 + 0.5) / 10000.0 AS quality
+FROM t"""
+
+
+def lang_id() -> str:
+    hits = {lang: (f"len(list_filter(string_split(text,' '), "
+                   f"x -> list_contains({sw}, x)))")
+            for lang, sw in _SW.items()}
+    h = ", ".join(f"{expr} AS h_{lang}" for lang, expr in hits.items())
+    langs = sorted(_SW)  # tie → lexicographically smallest wins
+    pick = "CASE " + " ".join(
+        f"WHEN h_{lang} = m THEN '{lang}'" for lang in langs) + " END"
+    return f"""
+WITH h AS (SELECT doc_id, {h} FROM documents WHERE text IS NOT NULL),
+m AS (SELECT *, greatest(h_de, h_en, h_es, h_fr) AS m FROM h)
+SELECT doc_id, CASE WHEN m <= 0 THEN 'und' ELSE {pick} END AS lang_pred
+FROM m"""
+
+
+def fingerprint() -> str:
+    return ("SELECT doc_id, md5(array_to_string(list_sort(list_distinct("
+            "string_split(text, ' '))), ' ')) AS fp "
+            "FROM documents WHERE text IS NOT NULL")
+
+
+def dedup_exact() -> str:
+    return f"""WITH pages AS ({pages_cte('duckdb', REPLICAS)})
+SELECT md5(text) AS text_hash, count(*) AS n_docs, min(rid) AS min_id
+FROM pages WHERE text IS NOT NULL
+GROUP BY 1 HAVING count(*) > 1"""
+
+
+def _minhash_cte(k: int = 8, bands: int = 4) -> str:
+    """Shared minhash CTEs over pages (DuckDB): shingles → k md5-min sigs →
+    band buckets. Matches operators/dedup.py byte-for-byte (md5 hex min)."""
+    rows = k // bands
+    sigs = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{j}:' || s))) AS s{j}"
+        for j in range(k))
+    bucket_rows = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, md5("
+        + " || '|' || ".join(f"s{b * rows + r}" for r in range(rows))
+        + ") AS bucket FROM sigs"
+        for b in range(bands))
+    return f"""
+sh AS (
+  SELECT rid AS id,
+    CASE WHEN len(string_split(text,' ')) >= 3 THEN
+      list_transform(range(1, len(string_split(text,' ')) - 1),
+                     i -> array_to_string(string_split(text,' ')[i:i+2], ' '))
+    ELSE [text] END AS sh
+  FROM pages WHERE text IS NOT NULL),
+sigs AS (SELECT id, {sigs} FROM sh),
+bb AS ({bucket_rows})"""
+
+
+def dedup_minhash_candidates() -> str:
+    return f"""WITH pages AS ({pages_cte('duckdb', REPLICAS)}),
+{_minhash_cte()}
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+                    AND a.id < b.id"""
+
+
+def dedup_jaccard() -> str:
+    return f"""WITH pages AS ({pages_cte('duckdb', REPLICAS)}),
+{_minhash_cte()}
+, cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+                      AND a.id < b.id),
+shd AS (SELECT id, list_distinct(sh) AS sh FROM sh)
+SELECT c.id_a, c.id_b,
+  FLOOR((CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(x.sh, y.sh)))) * 10000 + 0.5)
+    / 10000.0 AS jaccard
+FROM cand c JOIN shd x ON c.id_a = x.id JOIN shd y ON c.id_b = y.id"""
+
+
+def cosine_scores(query_ids=(0, 1, 2, 3, 4)) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id IN ({ids}))
+SELECT q.query_id, e.vec_id,
+  FLOOR((
+    list_sum(list_transform(range(1, len(e.embedding) + 1),
+             i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+             i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))
+       * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+    ) * 10000 + 0.5) / 10000.0 AS score
+FROM embeddings e CROSS JOIN q"""
+
+
+def media_metadata() -> str:
+    return f"""WITH pages AS ({pages_cte('duckdb', REPLICAS)})
+SELECT CAST(rid AS STRING) AS media_id, 'page' AS kind,
+       octet_length(html) AS byte_len, sha256(decode(html)) AS sha256
+FROM pages WHERE html IS NOT NULL"""
+
+
+def frame_sample(every_n: int = 1024, max_frames: int = 8) -> str:
+    # DuckDB lacks substring-on-BLOB; the corpus html is pure ASCII so
+    # char-slicing the decoded string is byte-identical
+    return f"""WITH pages AS ({pages_cte('duckdb', REPLICAS)}),
+f AS (SELECT CAST(rid AS STRING) AS media_id, decode(html) AS s,
+             unnest(range(0, {max_frames})) AS frame_idx
+      FROM pages WHERE html IS NOT NULL)
+SELECT media_id, frame_idx, frame_idx * {every_n} AS offset,
+       sha256(substring(s, frame_idx * {every_n} + 1, {every_n})) AS frame_sha
+FROM f WHERE frame_idx * {every_n} < length(s)"""
+
+
 def drift_lang_kl(smoothing: float = 1e-9) -> str:
     """KL(current frontier ‖ validated first-replica slice), rounded to 4dp —
     same formula as operators/drift.kl_divergence."""
@@ -148,5 +297,5 @@ cur AS (SELECT b, count(*) AS n FROM cur_rows GROUP BY b),
 curp AS (SELECT b, n * 1.0 / (SELECT SUM(n) FROM cur) AS p FROM cur),
 j AS (SELECT COALESCE(curp.p, 0.0) AS p, COALESCE(basep.q, 0.0) AS q
       FROM curp FULL OUTER JOIN basep ON curp.b = basep.b)
-SELECT ROUND(SUM((p + {smoothing}) * LN((p + {smoothing}) / (q + {smoothing}))), 4) AS kl
+SELECT FLOOR(SUM((p + {smoothing}) * LN((p + {smoothing}) / (q + {smoothing}))) * 10000 + 0.5) / 10000.0 AS kl
 FROM j"""

@@ -76,10 +76,21 @@ def pages_with_cte(dialect: str, replicas: int = 4) -> str:
     return f"WITH pages AS ({pages_cte(dialect, replicas)})"
 
 
-def load_pages(spark: SparkSession, sf_dir: str, replicas: int = 4) -> DataFrame:
+def load_pages(spark: SparkSession, sf_dir: str, replicas: int = 4,
+               partitions: int | None = None) -> DataFrame:
     """Engine-side pages DataFrame: documents.parquet → pages, with a real
-    TimestampType warc_ts column (UTC) alongside warc_epoch."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    TimestampType warc_ts column (UTC) alongside warc_epoch.
+
+    documents.parquet is a single small file → a single scan partition; the
+    ×replicas explode would then amplify rows WITHOUT parallelism (the whole
+    per-row stage in one task). Repartition the docs BEFORE the explode —
+    shuffling the few thousand pre-amplification rows is ~free and gives the
+    amplified stage full parallelism. (On a real multi-file crawl the scan is
+    naturally parallel and this is a no-op knob.)"""
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism * 2
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .repartition(partitions)
     docs.createOrReplaceTempView("documents")
     df = spark.sql(pages_cte("spark", replicas))
     return df.withColumn("warc_ts", df["warc_epoch"].cast("timestamp"))

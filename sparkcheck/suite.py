@@ -58,14 +58,18 @@ def pages_validator(spark: SparkSession,
          .field_rule("warc-ts-window",
                      f"warc_epoch BETWEEN {TS_MIN} AND {TS_MAX}",
                      MSG_TS, key="warc_ts", value="warc_epoch",
-                     description="crawl timestamp inside the expected window")
-         .unique("url", id="unique-url",
-                 description="url must be unique within the crawl"))
+                     description="crawl timestamp inside the expected window"))
+    # Rule order is part of the semantics (fail-fast priority). The expensive
+    # per-row extraction rule runs BEFORE the dataset-level unique rule so it
+    # sits inside the engine's persist point and is computed once per run,
+    # not once per downstream action.
     if with_extraction:
         v = v.rule(CustomPandasRule(
             id="extract-byte-identity",
             description="html->text extraction must be byte-identical",
             make_check=extraction_check()))
+    v = v.unique("url", id="unique-url",
+                 description="url must be unique within the crawl")
     if with_stats:
         v = v.column_stats(STATS_COLS, hist_cols=["text"])
     if with_drift:
@@ -106,11 +110,17 @@ def make_baseline(pages: DataFrame, replicas: int,
     })
 
 
-def run_suite(spark: SparkSession, sf_dir: str, replicas: int = 4, **kwargs):
+def run_suite(spark: SparkSession, sf_dir: str, replicas: int = 4,
+              baseline: DataFrame | None = None, **kwargs):
     """Load pages, build + bind the validator, run it. Returns
-    (pages, ValidationResult)."""
+    (pages, ValidationResult). `baseline` may be a precomputed snapshot
+    (the production shape — a drift baseline is a stored artifact of a prior
+    run, not recomputed per run)."""
     pages = load_pages(spark, sf_dir, replicas=replicas)
     v, deps = pages_validator(spark, **kwargs)
-    deps["baseline_stats"] = make_baseline(pages, replicas, deps["iso_lang"])
+    deps["baseline_stats"] = baseline if baseline is not None \
+        else make_baseline(pages, replicas, deps["iso_lang"])
     v.provide(**deps)
-    return pages, v.validate(pages)
+    # html and the extracted copy are dead after the extraction rule — keep
+    # them out of the persisted frame (dominant cost at scale)
+    return pages, v.validate(pages, persist_drop=["html", "extracted_text"])

@@ -1,0 +1,90 @@
+"""Resumability (SURVEY.md §5.2 item 4): kill after a partial manifest →
+resume processes only remaining input files; the union of outputs is
+identical to a single full run. Determinism: two full runs → identical
+violation sets.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkcheck import FieldConstraint, build_validator
+from sparkcheck.manifest import CheckpointManifest, run_resumable
+
+from .conftest import SF_SMALL
+
+
+def _make_input(spark, tmp_path, n_files=4):
+    """Write documents as several files so file-level lineage is exercised."""
+    src = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    path = str(tmp_path / "docs")
+    src.repartition(n_files).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _builder_fn(spark, pending):
+    v = (build_validator()
+         .input(constraints=[
+             FieldConstraint("doc_id", "doc_id IS NOT NULL", "id required"),
+         ], key_col="doc_id")
+         .field_rule("lang-known", "lang IN ('en','es','de','fr')",
+                     "unexpected lang", key="lang", value="lang")
+         .field_rule("text-min", "n_chars >= 60", "too short", key="text",
+                     value="n_chars")
+         .provide())
+    return v, pending
+
+
+def _collect_outputs(spark, base):
+    verd = spark.read.parquet(os.path.join(base, "verdicts"))
+    viol = spark.read.parquet(os.path.join(base, "violations"))
+    v = sorted((r["doc_id"], r["success"], r["rule_id"]) for r in
+               verd.collect())
+    w = sorted((r["doc_id"], r["rule_id"], r["key"], r["message"]) for r in
+               viol.collect())
+    return v, w
+
+
+def test_resume_processes_only_remaining_files(spark, tmp_path):
+    inp = _make_input(spark, tmp_path)
+    full_base = str(tmp_path / "full")
+    part_base = str(tmp_path / "partial")
+
+    # one-shot full run
+    _, n_full, _ = run_resumable(spark, inp, _builder_fn, full_base,
+                                 run_id="full")
+    assert n_full == 4
+
+    # simulate a killed run: mark 2 files complete WITHOUT their outputs
+    # being needed (we pre-run those 2 files for real, then resume)
+    files = sorted(os.path.join(inp, f) for f in os.listdir(inp)
+                   if f.endswith(".parquet"))
+    # real partial run over first 2 files only
+    run_resumable(spark, files[0], _builder_fn, part_base, run_id="r1")
+    run_resumable(spark, files[1], _builder_fn, part_base, run_id="r1b")
+    m = CheckpointManifest(part_base)
+    assert len(m.completed_files()) == 2
+
+    # resume over the full glob → must process exactly the 2 remaining
+    _, n_resumed, _ = run_resumable(spark, inp, _builder_fn, part_base,
+                                    run_id="r2")
+    assert n_resumed == 2
+
+    # union of outputs ≡ the one-shot run
+    assert _collect_outputs(spark, part_base) == \
+        _collect_outputs(spark, full_base)
+
+    # idempotent: nothing left to do
+    _, n_again, _ = run_resumable(spark, inp, _builder_fn, part_base)
+    assert n_again == 0
+
+
+def test_two_full_runs_identical(spark, tmp_path):
+    inp = _make_input(spark, tmp_path)
+    b1, b2 = str(tmp_path / "a"), str(tmp_path / "b")
+    run_resumable(spark, inp, _builder_fn, b1, run_id="x")
+    run_resumable(spark, inp, _builder_fn, b2, run_id="x")
+    assert _collect_outputs(spark, b1) == _collect_outputs(spark, b2)

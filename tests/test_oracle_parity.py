@@ -39,10 +39,15 @@ def _normalize(rows, cols):
     return out
 
 
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
 def _run_oracle(sql: str):
     con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    for t in TABLES:  # the driver pre-registers all ten views
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
     rows = [dict(zip(cols, r)) for r in cur.fetchall()]
@@ -50,7 +55,9 @@ def _run_oracle(sql: str):
     return cols, rows
 
 
-QUERIES = sorted(entrymod.queries().keys())
+# rows-only queries have no SQL oracle (driver records a weaker check);
+# they get dedicated python-oracle tests elsewhere
+QUERIES = sorted(entrymod.oracle_sql().keys())
 
 
 @pytest.mark.parametrize("name", QUERIES)

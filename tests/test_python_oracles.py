@@ -1,0 +1,143 @@
+"""Python/NumPy oracles for the operators whose semantics aren't cleanly
+SQL-expressible (driver records rows-only checks for these): simhash, ANN
+top-k (brute + LSH recall), mapInPandas media features, and HLL tolerance
+(SURVEY.md §5.2 items 2 and 5).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparkcheck.operators import dedup, multimodal, similarity
+from sparkcheck.operators.stats import column_stats
+
+from .conftest import SF_DIR, SF_SMALL
+
+
+def _docs(spark, sf=SF_SMALL):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _emb(spark, sf=SF_SMALL):
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+# --- simhash vs pure-python reimplementation ---------------------------------
+
+def simhash_py(text: str, bits: int = 32) -> int:
+    votes = [0] * bits
+    for w in text.split(" "):
+        h = hashlib.md5(w.encode()).hexdigest()
+        for i in range(bits):
+            votes[i] += 1 if h[i] in "13579bdf" else -1
+    out = 0
+    for i in range(bits):
+        if votes[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def test_simhash_matches_python(spark):
+    docs = _docs(spark).limit(50)
+    got = {r["id"]: r["simhash"]
+           for r in dedup.simhash(docs, id_col="doc_id").collect()}
+    for row in docs.select("doc_id", "text").collect():
+        assert got[row["doc_id"]] == simhash_py(row["text"]), row["doc_id"]
+
+
+def test_simhash_similar_texts_close(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "the quick brown fox jumps over the lazy cat today"),
+         (3, "completely different words about spark query engines here")],
+        "id long, text string")
+    s = {r["id"]: r["simhash"] for r in dedup.simhash(df, "id").collect()}
+    d12 = bin(s[1] ^ s[2]).count("1")
+    d13 = bin(s[1] ^ s[3]).count("1")
+    assert d12 < d13  # near-dup pair closer in hamming space
+
+
+# --- ANN: brute-force vs numpy; LSH recall ------------------------------------
+
+def _numpy_topk(emb_rows, query_ids, k=10):
+    ids = np.array([r["vec_id"] for r in emb_rows])
+    m = np.stack([np.array(r["embedding"], dtype=np.float64)
+                  for r in emb_rows])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    out = {}
+    for q in query_ids:
+        qv = m[ids == q][0]
+        scores = np.round(m @ qv, 4)
+        order = sorted((r_id for r_id in ids if r_id != q),
+                       key=lambda r_id: (-scores[ids == r_id][0], r_id))
+        out[q] = order[:k]
+    return out
+
+
+def test_brute_topk_matches_numpy(spark):
+    emb = _emb(spark)
+    rows = emb.collect()
+    expected = _numpy_topk(rows, [0, 1, 2], k=10)
+    got = similarity.brute_topk(emb, [0, 1, 2], k=10).collect()
+    for q in [0, 1, 2]:
+        mine = [r["vec_id"] for r in sorted(
+            (r for r in got if r["query_id"] == q), key=lambda r: r["rank"])]
+        assert mine == list(expected[q]), f"query {q}"
+
+
+def test_lsh_topk_recall_reasonable(spark):
+    emb = _emb(spark)
+    brute = similarity.brute_topk(emb, [0, 1, 2, 3, 4], k=10).collect()
+    lsh = similarity.lsh_topk(emb, [0, 1, 2, 3, 4], k=10, bits=4).collect()
+    b = {(r["query_id"], r["vec_id"]) for r in brute}
+    l = {(r["query_id"], r["vec_id"]) for r in lsh}
+    recall = len(b & l) / len(b)
+    # 4-bit buckets on random vectors: expect partial but nontrivial recall
+    assert recall > 0.1, recall
+    # LSH scores must agree with brute scores on the intersection
+    bscore = {(r["query_id"], r["vec_id"]): r["score"] for r in brute}
+    for r in lsh:
+        key = (r["query_id"], r["vec_id"])
+        if key in bscore:
+            assert abs(r["score"] - bscore[key]) < 1e-9
+
+
+# --- media features (mapInPandas plumbing with deterministic fake decoder) ---
+
+def test_media_features_deterministic_and_correct(spark):
+    from sparkcheck.sources.pages import load_pages
+    pages = load_pages(spark, SF_SMALL, replicas=2).limit(40)
+    feats = multimodal.extract_features(pages, "html", "rid", kind="page") \
+        .collect()
+    assert len(feats) == pages.filter(F.col("html").isNotNull()).count()
+    raw = {str(r["rid"]): bytes(r["html"])
+           for r in pages.select("rid", "html").collect()
+           if r["html"] is not None}
+    for r in feats[:10]:
+        expect_feat, w, h = multimodal.fake_decoder(raw[r["media_id"]], "page")
+        assert np.allclose(r["feat"], expect_feat)
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["byte_len"] == len(raw[r["media_id"]])
+
+
+def test_real_decoder_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        multimodal.real_decoder(b"bytes", "image")
+
+
+# --- HLL distinct within rsd tolerance vs exact --------------------------------
+
+def test_hll_distinct_within_tolerance(spark):
+    docs = _docs(spark, SF_DIR)
+    approx = {r["col"]: r["n_distinct"]
+              for r in column_stats(docs, ["doc_id", "lang"],
+                                    hll_rsd=0.02).collect()}
+    exact = {r["col"]: r["n_distinct"]
+             for r in column_stats(docs, ["doc_id", "lang"],
+                                   exact_distinct=True).collect()}
+    for c in ["doc_id", "lang"]:
+        assert abs(approx[c] - exact[c]) <= max(3, 0.1 * exact[c]), c
