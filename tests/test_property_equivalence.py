@@ -1,0 +1,130 @@
+"""Property-based equivalence (SURVEY.md §5.2 item 5): on Hypothesis-generated
+tables and rule chains, the Spark engine's verdicts/violations must equal a
+naive per-row Python interpreter that restates the reference's validate loop
+(/root/reference/src/index.ts:63-159) directly: schema issues all-at-once,
+sequential rules, fail-fast after the first rule that wrote the bag,
+intra-rule multi-emission.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from sparkcheck import FieldConstraint, build_validator
+from sparkcheck.model import Check, FieldRule
+
+COLS = ["a", "b", "c"]
+OPS = [">=", "<=", "==", "!="]
+
+
+@dataclass(frozen=True)
+class SimpleCheck:
+    col: str
+    op: str  # >=, <=, ==, !=, not_null
+    lit: int
+    key: str | None  # None → global
+
+
+def to_sql(c: SimpleCheck) -> str:
+    if c.op == "not_null":
+        return f"{c.col} IS NOT NULL"
+    op = "=" if c.op == "==" else c.op
+    return f"{c.col} {op} {c.lit}"
+
+
+def eval_py(c: SimpleCheck, row: dict):
+    """Tri-state predicate mirroring SQL null semantics: None operand → NULL
+    → engine treats as failure (compile.check_fired coalesces to False)."""
+    v = row[c.col]
+    if c.op == "not_null":
+        return v is not None
+    if v is None:
+        return None
+    return {"<=": v <= c.lit, ">=": v >= c.lit,
+            "==": v == c.lit, "!=": v != c.lit}[c.op]
+
+
+def interpret(rows, constraints, rules):
+    """Direct Python restatement of the reference's validate():
+    returns per-row (success, step, rule_idx, [(key, message), ...])."""
+    out = []
+    for rid, row in enumerate(rows):
+        r = dict(zip(["rowid"] + COLS, row))
+        issues = []
+        for c in constraints:  # schema: every failing issue reported
+            ok = eval_py(c, r)
+            if ok is not True:
+                issues.append((c.key, f"schema:{c.col}{c.op}{c.lit}"))
+        if issues:
+            out.append((r["rowid"], False, "schema", -1, tuple(issues)))
+            continue
+        failed = None
+        for i, rule in enumerate(rules):
+            emissions = []
+            for j, c in enumerate(rule):
+                ok = eval_py(c, r)
+                if ok is not True:
+                    emissions.append((c.key, f"r{i}c{j}"))
+            if emissions:  # bag.hasErrors() after the rule → stop
+                failed = (i, tuple(emissions))
+                break
+        if failed is None:
+            out.append((r["rowid"], True, None, None, ()))
+        else:
+            out.append((r["rowid"], False, "rules", failed[0], failed[1]))
+    return sorted(out)
+
+
+check_st = st.builds(
+    SimpleCheck,
+    col=st.sampled_from(COLS),
+    op=st.sampled_from(OPS + ["not_null"]),
+    lit=st.integers(-3, 3),
+    key=st.sampled_from([None, "a", "b", "c"]),
+)
+
+rows_st = st.lists(
+    st.tuples(*[st.one_of(st.none(), st.integers(-3, 3)) for _ in COLS]),
+    min_size=1, max_size=12)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(rows=rows_st,
+       constraints=st.lists(check_st.map(
+           lambda c: SimpleCheck(c.col, c.op, c.lit, c.col)), max_size=2),
+       rules=st.lists(st.lists(check_st, min_size=1, max_size=2),
+                      max_size=3))
+def test_engine_equals_naive_interpreter(spark, rows, constraints, rules):
+    data = [(i,) + r for i, r in enumerate(rows)]
+    df = spark.createDataFrame(data, "rowid int, a int, b int, c int")
+
+    v = build_validator().input(constraints=[
+        FieldConstraint(c.key, to_sql(c), f"schema:{c.col}{c.op}{c.lit}")
+        for c in constraints], key_col="rowid")
+    for i, rule in enumerate(rules):
+        v = v.rule(FieldRule(id=f"rule-{i}", checks=[
+            Check(ok_expr=to_sql(c), key=c.key, message=f"r{i}c{j}")
+            for j, c in enumerate(rule)]))
+    v.provide()
+    res = v.validate(df, persist=False)
+
+    verd = {r["rowid"]: r for r in res.verdicts.collect()}
+    viols = {}
+    for r in res.violations.collect():
+        viols.setdefault(r["rowid"], []).append(
+            (r["rule_idx"], r["seq"], r["key"], r["message"]))
+
+    got = []
+    for rid in verd:
+        r = verd[rid]
+        em = tuple((k, m) for _, _, k, m in sorted(viols.get(rid, [])))
+        idx = r["rule_idx"] if r["step"] == "rules" else (
+            -1 if r["step"] == "schema" else None)
+        got.append((rid, bool(r["success"]), r["step"], idx, em))
+    expected = interpret(data, constraints, rules)
+    assert sorted(got) == expected
