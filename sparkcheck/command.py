@@ -80,6 +80,14 @@ class Command:
         return CommandResult(success=True, result=execute_result,
                              context=single.context)
 
+    def run_shape(self, df, override: dict | None = None,
+                  run_ts=None) -> CommandResult:
+        """Typed alias of run (B15; src/index.ts:328-347) — same runtime,
+        extra deps gate with the reference's exact message."""
+        invariant(self._builder._deps_status != "required",
+                  "Deps should be provided before calling runShape")
+        return self.run_single(df, override=override, run_ts=run_ts)
+
     # -- production surface ---------------------------------------------------
 
     def run(self, df, override: dict | None = None, run_ts=None,

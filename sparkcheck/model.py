@@ -341,6 +341,21 @@ class ValidatorBuilder:
             "key_col": self._key_col,
         }
 
+    def explain(self, df, extended: bool = False) -> str:
+        """Compiled-plan introspection (A8 ≙ ~unsafeInternals,
+        src/index.ts:407-409): the rule DAG plus Spark's physical plan for
+        the verdicts output."""
+        lines = [f"sparkcheck plan (key_col={self._key_col})"]
+        for c in (self._schema.constraints if self._schema else []):
+            lines.append(f"  schema: [{c.key}] {c.check!r}")
+        for i, r in enumerate(self._rules):
+            lines.append(f"  rule {i}: {r.kind} id={r.id}")
+        res = self.validate(df, persist=False)
+        jqe = res.verdicts._jdf.queryExecution()
+        spark_plan = jqe.toString() if extended \
+            else jqe.executedPlan().toString()
+        return "\n".join(lines) + "\n" + spark_plan
+
     # -- execution ----------------------------------------------------------
 
     def validate(self, df, override: dict | None = None, run_ts=None,
