@@ -70,11 +70,26 @@ class ValidationResult:
     context_cols: list[str] = field(default_factory=list)
     rules: list = field(default_factory=list)
     _persisted: list = field(default_factory=list)
+    _observation: Any = None
+
+    _metrics_forced: bool = False
 
     def unpersist(self) -> None:
         for p in self._persisted:
             p.unpersist()
         self._persisted = []
+
+    def metrics(self) -> dict:
+        """Run metrics observed during the verdict job (rows, failed_rows,
+        schema_failed) — they ride an action over the annotated frame, no
+        extra scan of the inputs. If no action has executed yet, one cheap
+        count over the (persisted) frame is triggered."""
+        if self._observation is None:
+            return {}
+        if not self._metrics_forced:
+            self.annotated.count()
+            self._metrics_forced = True
+        return dict(self._observation.get)
 
     def success(self) -> bool:
         """Run-level success: no failing rows and all run checks pass
@@ -304,6 +319,16 @@ def run_validation(df: DataFrame, builder: ValidatorBuilder,
     # last global emission wins (B10); try_element_at → NULL on empty (ANSI)
     global_error = F.try_element_at(globals_em, F.lit(-1))["message"]
 
+    # zero-extra-pass run metrics: an Observation rides the verdict job
+    # (no second scan; SURVEY.md §4.2 'single-pass evaluation')
+    from pyspark.sql import Observation
+    observation = Observation()
+    df = df.observe(observation,
+                    F.count(F.lit(1)).alias("rows"),
+                    F.sum(F.col("_fail").isNotNull().cast("long"))
+                    .alias("failed_rows"),
+                    F.sum(schema_failed.cast("long")).alias("schema_failed"))
+
     annotated = df
     verdicts = df.select(
         F.col(key_col),
@@ -330,7 +355,7 @@ def run_validation(df: DataFrame, builder: ValidatorBuilder,
                             violations=violations, annotated=annotated,
                             stats=stats_df, run_checks=run_checks,
                             context_cols=context_cols, rules=rules,
-                            _persisted=persisted)
+                            _persisted=persisted, _observation=observation)
 
 
 def _array_all_stage(df: DataFrame, deps: dict, rule: ArrayAllRule, i: int,
