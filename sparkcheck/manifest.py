@@ -59,9 +59,17 @@ class CheckpointManifest:
                 f.write(json.dumps(asdict(e)) + "\n")
 
 
+def global_distinct(spark: SparkSession, base: str):
+    """Global distinct estimates across ALL runs so far: union of the per-run
+    mergeable HLL sketches (no double counting on overlapping/partial runs)."""
+    from .operators.stats import merge_sketch_estimates
+    sketches = spark.read.parquet(os.path.join(base, "sketches"))
+    return merge_sketch_estimates(sketches)
+
+
 def run_resumable(spark: SparkSession, input_glob: str, build_validator_fn,
                   base: str, run_id: str | None = None,
-                  key_col: str = "url"):
+                  key_col: str = "url", sketch_cols: list[str] | None = None):
     """Validate only not-yet-completed input files; append outputs + manifest.
 
     build_validator_fn(spark, df) -> (ValidatorBuilder bound via provide, df)
@@ -108,6 +116,11 @@ def run_resumable(spark: SparkSession, input_glob: str, build_validator_fn,
         (result.stats.withColumn("run_id", F.lit(run_id))
            .write.mode("append").partitionBy("run_id")
            .parquet(os.path.join(base, "stats")))
+    if sketch_cols:
+        from .operators.stats import column_sketches
+        (column_sketches(df, sketch_cols).withColumn("run_id", F.lit(run_id))
+           .write.mode("append").partitionBy("run_id")
+           .parquet(os.path.join(base, "sketches")))
 
     manifest.append([
         FileEntry(run_id=run_id, input_file=r["_input_file"],

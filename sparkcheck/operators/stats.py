@@ -54,6 +54,29 @@ def length_histogram(df: DataFrame, col: str, bin_width: int = 50) -> DataFrame:
               .agg(F.count(F.lit(1)).alias("n")))
 
 
+def column_sketches(df: DataFrame, cols: list[str],
+                    lg_k: int = 12) -> DataFrame:
+    """Mergeable HLL sketches, long format: (col, sketch binary).
+
+    Resume correctness (SURVEY.md §7 hard part e): distinct counts cannot be
+    merged from final numbers, but Datasketches HLL sketches can — each
+    incremental run stores its sketches; the global distinct estimate is
+    hll_union_agg over all runs' sketches."""
+    aggs = [F.hll_sketch_agg(F.col(c).cast("string"), lg_k).alias(f"sk_{c}")
+            for c in cols]
+    wide = df.agg(*aggs)
+    parts = ", ".join(f"'{c}', `sk_{c}`" for c in cols)
+    return wide.selectExpr(
+        f"stack({len(cols)}, {parts}) as (col, sketch)")
+
+
+def merge_sketch_estimates(sketches: DataFrame) -> DataFrame:
+    """(col, n_distinct) from a union of per-run sketch tables."""
+    return (sketches.groupBy("col")
+            .agg(F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch")))
+                 .alias("n_distinct")))
+
+
 def partition_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     """Per-partition row counts + null counts keyed by spark_partition_id()
     (per-partition verdict/metrics lineage for the checkpoint manifest)."""
