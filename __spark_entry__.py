@@ -162,6 +162,29 @@ def q_frame_sample(spark, sf_dir):
     return multimodal.frame_sample(_pages(spark, sf_dir), "html", "rid")
 
 
+def q_events_verdicts(spark, sf_dir):
+    """Validation over the events table: enum membership, value range,
+    JSON-ish props extraction (C1/C5 archetypes on a second table shape)."""
+    from sparkcheck import FieldConstraint, build_validator
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    v = (build_validator()
+         .input(constraints=[
+             FieldConstraint("event_id", "event_id IS NOT NULL",
+                             "event_id required")], key_col="event_id")
+         .field_rule("known-type",
+                     "event_type IN ('click','view','purchase','signup','error')",
+                     "unknown event type", key="event_type", value="event_type")
+         .field_rule("value-range", "value BETWEEN 0 AND 10",
+                     "value out of range", key="value", value="value")
+         .field_rule("props-k-range",
+                     "CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS INT) "
+                     "BETWEEN 0 AND 100",
+                     "props.k out of range", key="props", value="props")
+         .provide())
+    res = v.validate(events, persist=False)
+    return res.verdicts.select("event_id", "success", "rule_id", "step")
+
+
 # --- rows-only (non-SQL-expressible; pytest-verified vs python oracles) ------
 
 
@@ -203,6 +226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_scores": q_cosine_scores,
         "media_metadata": q_media_metadata,
         "frame_sample": q_frame_sample,
+        "events_verdicts": q_events_verdicts,
         # rows-only checks (no SQL-expressible oracle; pytest-verified)
         "simhash": q_simhash,
         "ann_brute_topk": q_ann_brute_topk,
@@ -232,4 +256,5 @@ def oracle_sql() -> dict[str, str]:
         "cosine_scores": oracle.cosine_scores(),
         "media_metadata": oracle.media_metadata(),
         "frame_sample": oracle.frame_sample(),
+        "events_verdicts": oracle.events_verdicts(),
     }

@@ -285,6 +285,30 @@ SELECT media_id, frame_idx, frame_idx * {every_n} AS offset,
 FROM f WHERE frame_idx * {every_n} < length(s)"""
 
 
+def events_verdicts() -> str:
+    """Fail-fast cascade over the events table (engine parity on a second
+    table shape)."""
+    return r"""
+WITH f AS (
+  SELECT event_id,
+    (event_id IS NULL) AS f_schema,
+    (event_type IS NULL OR event_type NOT IN
+       ('click','view','purchase','signup','error')) AS f0,
+    COALESCE(NOT (value BETWEEN 0 AND 10), TRUE) AS f1,
+    COALESCE(NOT (CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)
+                  BETWEEN 0 AND 100), TRUE) AS f2
+  FROM events)
+SELECT event_id,
+  NOT (f_schema OR f0 OR f1 OR f2) AS success,
+  CASE WHEN f_schema THEN NULL
+       WHEN f0 THEN 'known-type'
+       WHEN f1 THEN 'value-range'
+       WHEN f2 THEN 'props-k-range' END AS rule_id,
+  CASE WHEN f_schema THEN 'schema'
+       WHEN f0 OR f1 OR f2 THEN 'rules' END AS step
+FROM f"""
+
+
 def drift_lang_kl(smoothing: float = 1e-9) -> str:
     """KL(current frontier ‖ validated first-replica slice), rounded to 4dp —
     same formula as operators/drift.kl_divergence."""

@@ -30,8 +30,10 @@ def get_spark(cores: int | None = None, app: str = "sparkcheck",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # local mode = one JVM on the driver; this is the only memory knob
+        # (the box has 128 GiB — leave headroom for python workers)
         .config("spark.driver.memory", os.environ.get("SPARKCHECK_DRIVER_MEM",
-                                                      "16g"))
+                                                      "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
