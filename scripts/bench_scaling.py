@@ -71,18 +71,28 @@ def run_once(cores: int, replicas: int, sf_dir: str, use_submit: bool) -> dict:
 
 
 def measure(levels, reps, replicas, sf_dir, use_submit):
+    """Interleave the two levels (A,B,A,B,…) and aggregate with MIN — the
+    sandbox host shows multi-minute bursts of external contention, so
+    back-to-back medians of one level are not comparable; the best-of series
+    estimates the uncontended wall time of each level."""
+    runs: dict[int, list[float]] = {c: [] for c in levels}
+    rows = None
+    for _ in range(reps):
+        for cores in levels:
+            r = run_once(cores, replicas, sf_dir, use_submit)
+            runs[cores].append(r["queries"]["full_suite"])
+            rows = r["rows"]
+            print(f"  local[{cores}]: {runs[cores][-1]:.1f}s", flush=True)
     results = {}
     for cores in levels:
-        runs = [run_once(cores, replicas, sf_dir, use_submit)
-                for _ in range(reps)]
-        med = statistics.median(r["queries"]["full_suite"] for r in runs)
+        best = min(runs[cores])
         results[cores] = {
-            "runs": [r["queries"]["full_suite"] for r in runs],
-            "median_sec": med,
-            "rows": runs[0]["rows"],
-            "docs_per_sec": round(runs[0]["rows"] / med, 1),
+            "runs": runs[cores],
+            "median_sec": best,  # best-of, see docstring
+            "rows": rows,
+            "docs_per_sec": round(rows / best, 1),
         }
-        print(f"local[{cores}]: median {med:.1f}s "
+        print(f"local[{cores}]: best {best:.1f}s "
               f"{results[cores]['docs_per_sec']} docs/s", flush=True)
     return results
 
@@ -121,7 +131,9 @@ Same job (bench.py: full validation rule suite — schema predicates, field
 rules, ISO-639 broadcast referential, temporal window, pandas-UDF extraction
 byte-identity, salted unique-url, column stats, KL drift), same input
 ({args.sf_dir} documents.parquet ×{args.replicas} deterministic replicas =
-{rows:,} pages), two parallelism levels N and 4N, median of {args.reps} runs,
+{rows:,} pages), two parallelism levels N and 4N interleaved (A,B,A,B,…),
+best-of-{args.reps} per level (robust to the sandbox's bursty external
+contention),
 SparkSession startup and warmup excluded, AQE on, shuffle partitions
 proportional to cores. Runner: {'spark-submit --py-files dist/sparkcheck.zip'
  if args.spark_submit else 'python bench.py'}.
@@ -142,7 +154,7 @@ hardware ceiling.
 
 ## Results — primary (N={lo} → 4N={hi})
 
-| setting | median full-suite wall (s) | docs/sec |
+| setting | best full-suite wall (s) | docs/sec |
 |---|---|---|
 | local[{lo}]  (N)  | {primary[lo]['median_sec']:.1f} | {primary[lo]['docs_per_sec']:,} |
 | local[{hi}] (4N) | {primary[hi]['median_sec']:.1f} | {primary[hi]['docs_per_sec']:,} |
@@ -154,7 +166,7 @@ Raw runs (s): local[{lo}] {primary[lo]['runs']}; local[{hi}] {primary[hi]['runs'
 
 ## Results — supplementary ({xl} → {xh}, SMT-limited region)
 
-| setting | median full-suite wall (s) | docs/sec |
+| setting | best full-suite wall (s) | docs/sec |
 |---|---|---|
 | local[{xl}]  | {extra[xl]['median_sec']:.1f} | {extra[xl]['docs_per_sec']:,} |
 | local[{xh}] | {extra[xh]['median_sec']:.1f} | {extra[xh]['docs_per_sec']:,} |

@@ -30,10 +30,12 @@ def get_spark(cores: int | None = None, app: str = "sparkcheck",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # local mode = one JVM on the driver; this is the only memory knob
-        # (the box has 128 GiB — leave headroom for python workers)
+        # local mode = one JVM on the driver; this is the only memory knob.
+        # Measured: a 48g heap is ~25-50% SLOWER than 16g at local[32] on
+        # this box (GC ergonomics + cold heap pages) — keep it modest, the
+        # persisted frame is small (columnar-compressed) and spills to disk.
         .config("spark.driver.memory", os.environ.get("SPARKCHECK_DRIVER_MEM",
-                                                      "48g"))
+                                                      "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
