@@ -72,11 +72,31 @@ def emission_struct(check: Check, seq: int, fired: Column) -> Column:
     )
 
 
+def _bare_emission(check: Check, seq: int) -> Column:
+    key = F.lit(check.key).cast("string") if check.key is not None \
+        else F.lit(None).cast("string")
+    return F.struct(key.alias("key"),
+                    as_msg(check.message).cast("string").alias("message"),
+                    as_val(check.value).alias("value"),
+                    F.lit(seq).alias("seq"))
+
+
 def checks_outcome(checks: list[Check]) -> Column:
     """Compile a list of checks into struct(ok boolean, emissions array).
 
     The rule fails iff ≥1 emission fired; all fired emissions are retained
-    (intra-rule multi-error accumulation, B6: src/test.spec.ts:681-703)."""
+    (intra-rule multi-error accumulation, B6: src/test.spec.ts:681-703).
+
+    Single-check rules (the overwhelmingly common case) get a flat CASE
+    expression instead of the array/filter/transform machinery — expression
+    tree size drives Catalyst analysis time, which is the engine's main
+    fixed (non-scaling) cost."""
+    if len(checks) == 1:
+        fired = check_fired(checks[0])
+        emissions = F.when(fired, F.array(_bare_emission(checks[0], 0))) \
+                     .otherwise(empty_emissions())
+        return F.struct((~fired).alias("ok"), emissions.alias("emissions"))
+
     structs = []
     for seq, check in enumerate(checks):
         fired = check_fired(check)

@@ -178,13 +178,27 @@ def run_validation(df: DataFrame, builder: ValidatorBuilder,
             persisted.append(d)
         return d
 
+    # consecutive per-row rules are applied in ONE select — a withColumn per
+    # rule makes a Project node per rule and Catalyst analysis time (a fixed,
+    # non-scaling driver cost) grows with plan depth
+    pending: list[tuple[str, Column]] = []
+
+    def flush(d: DataFrame) -> DataFrame:
+        nonlocal pending
+        if pending:
+            d = d.select("*", *[c.alias(n) for n, c in pending])
+            pending = []
+        return d
+
     # ---- rule stages, in declaration order (B5) ---------------------------
     for i, rule in enumerate(rules):
         oc_col = f"_r{i}"
+        if not isinstance(rule, FieldRule):
+            df = flush(df)
         if isinstance(rule, UniqueRule):
             df = _materialize_point(df)
         if isinstance(rule, FieldRule):
-            df = df.withColumn(oc_col, C.field_rule_outcome(rule))
+            pending.append((oc_col, C.field_rule_outcome(rule)))
 
         elif isinstance(rule, ReferentialRule):
             dim = deps.get(rule.dim)
@@ -276,6 +290,7 @@ def run_validation(df: DataFrame, builder: ValidatorBuilder,
             raise NotImplementedError(f"rule kind {type(rule).__name__}")
 
         fail_branches.append((i, rule))
+    df = flush(df)
 
     # ---- deferred metrics rules --------------------------------------------
     # Evaluated on the final frame (which reads from the persist point):

@@ -36,6 +36,10 @@ def get_spark(cores: int | None = None, app: str = "sparkcheck",
         # persisted frame is small (columnar-compressed) and spills to disk.
         .config("spark.driver.memory", os.environ.get("SPARKCHECK_DRIVER_MEM",
                                                       "16g"))
+        # pin -Xms: with the default tiny initial heap, the FIRST large
+        # persist of a session pays repeated full GCs while the heap grows
+        # (measured 4x slowdown of the first materialization at local[32])
+        .config("spark.driver.extraJavaOptions", "-Xms12g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
