@@ -33,7 +33,7 @@ def _force(df) -> int:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    replicas = int(os.environ.get("SPARKCHECK_BENCH_REPLICAS", "200"))
+    replicas = int(os.environ.get("SPARKCHECK_BENCH_REPLICAS", "400"))
 
     from sparkcheck import suite as S
     from sparkcheck.operators.stats import column_stats, length_histogram
@@ -88,6 +88,15 @@ def main() -> None:
         res.unpersist()
 
     timed("full_suite", full_suite)
+    if os.environ.get("SPARKCHECK_BENCH_ONLY") == "full_suite":
+        # scaling protocol times the headline job only
+        docs_per_sec = round(n_rows / timings["full_suite"], 1)
+        print(json.dumps({
+            "metric": "validated_docs_per_sec_full_suite",
+            "value": docs_per_sec, "unit": "docs/sec", "queries": timings,
+            "sf": sf_dir.rstrip("/").split("/")[-1], "rows": n_rows,
+            "cores": cpus, "replicas": replicas}))
+        return
     timed("unique_url", lambda: _force(
         duplicate_keys(S.valid_pages(pages, dim), "url")))
     timed("column_stats", lambda: _force(
@@ -99,8 +108,7 @@ def main() -> None:
              .filter(F.col("h").isNotNull())))
     timed("drift_kl", lambda: kl_divergence(
         S.frontier_after_unique(pages, dim), "lang",
-        F.coalesce(F.col("lang"), F.lit("∅")),
-        S.make_baseline(pages, replicas, dim)))
+        F.coalesce(F.col("lang"), F.lit("∅")), baseline))
 
     docs_per_sec = round(n_rows / timings["full_suite"], 1)
     out = {

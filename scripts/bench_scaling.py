@@ -55,7 +55,8 @@ def run_once(cores: int, replicas: int, sf_dir: str, use_submit: bool) -> dict:
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=sf_dir,
                SPARK_GRAFT_CPUS=str(cores),
-               SPARKCHECK_BENCH_REPLICAS=str(replicas))
+               SPARKCHECK_BENCH_REPLICAS=str(replicas),
+               SPARKCHECK_BENCH_ONLY="full_suite")
     if use_submit:
         subprocess.run(["sh", os.path.join(REPO, "scripts/package.sh")],
                        check=True, capture_output=True)
