@@ -69,6 +69,7 @@ class ValidationResult:
     run_checks: list[RunCheck] = field(default_factory=list)
     context_cols: list[str] = field(default_factory=list)
     rules: list = field(default_factory=list)
+    input_cols: list[str] = field(default_factory=list)
     _persisted: list = field(default_factory=list)
     _observation: Any = None
 
@@ -109,11 +110,20 @@ class ValidationResult:
             spec = self.rules[row["rule_idx"]]
             rule = {"id": spec.id, "description": spec.description}
         ctx = {}
-        if row["success"] and self.context_cols:
-            data = self.annotated.select(*self.context_cols).collect()[0].asDict()
-            ctx = data
+        value = None
+        if row["success"]:
+            avail = set(self.annotated.columns)  # persist_drop may prune some
+            cols = [c for c in list(self.input_cols) +
+                    [c for c in self.context_cols if c not in self.input_cols]
+                    if c in avail]
+            if cols:
+                data = self.annotated.select(*cols).collect()[0].asDict()
+                ctx = {c: data[c] for c in self.context_cols if c in data}
+                # parsed value (src/index.ts:157 returns presult.value)
+                value = {c: data[c] for c in self.input_cols if c in data}
         return SimpleNamespace(success=bool(row["success"]), errors=bag,
-                               rule=rule, step=row["step"], context=ctx)
+                               rule=rule, step=row["step"], context=ctx,
+                               value=value)
 
 
 def _merge_override(df: DataFrame, override: dict | None) -> DataFrame:
@@ -136,6 +146,7 @@ def run_validation(df: DataFrame, builder: ValidatorBuilder,
     spark = df.sparkSession
 
     df = _merge_override(df, override)
+    input_cols = list(df.columns)
     if run_ts is None:
         run_ts = deps.get("run_ts")
     if run_ts is not None:
@@ -370,6 +381,7 @@ def run_validation(df: DataFrame, builder: ValidatorBuilder,
                             violations=violations, annotated=annotated,
                             stats=stats_df, run_checks=run_checks,
                             context_cols=context_cols, rules=rules,
+                            input_cols=input_cols,
                             _persisted=persisted, _observation=observation)
 
 

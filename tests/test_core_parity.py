@@ -265,6 +265,8 @@ def test_duplicate_email_detected(spark):
                       "description": "Check for duplicate email"}
     r2 = v.validate(reg(spark, "new@example.com", "Jane Doe", 30)).single()
     assert r2.success
+    # parsed value surfaces on success (src/index.ts:157)
+    assert r2.value["email"] == "new@example.com"
 
 
 def test_blacklisted_domain_and_exact_email(spark):
