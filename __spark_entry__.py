@@ -205,6 +205,20 @@ def q_media_features(spark, sf_dir):
                                        kind="page")
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    """LSH-bucketed all-pairs cosine near-duplicates (threshold low enough to
+    return rows on random embeddings; scores pytest-verified vs brute)."""
+    return similarity.embedding_near_dups(_emb(spark, sf_dir), threshold=0.4,
+                                          bits=4)
+
+
+def q_partition_stats(spark, sf_dir):
+    """Per-partition row/null lineage keyed by spark_partition_id (manifest
+    metrics building block; inherently engine-specific → rows-only)."""
+    from sparkcheck.operators.stats import partition_stats
+    return partition_stats(_pages(spark, sf_dir), ["text", "lang"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pages_table": q_pages_table,
@@ -232,6 +246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "media_features": q_media_features,
+        "embedding_near_dups": q_embedding_near_dups,
+        "partition_stats": q_partition_stats,
     }
 
 
