@@ -162,6 +162,22 @@ def q_frame_sample(spark, sf_dir):
     return multimodal.frame_sample(_pages(spark, sf_dir), "html", "rid")
 
 
+def q_violations_grouped(spark, sf_dir):
+    """B13 at scale: toObject()'s {key: [messages…]} grouping as a
+    distributed aggregate — per (url, key), messages concatenated in
+    insertion order (rule_idx, seq)."""
+    _, res = S.run_suite(spark, sf_dir, replicas=REPLICAS,
+                         with_stats=False, with_drift=False)
+    v = res.violations.filter(F.col("key").isNotNull())
+    # within one logical record insertion order is (rule_idx, seq); across
+    # physically distinct rows sharing a url there is no defined insertion
+    # order, so the grouped view sorts messages lexicographically (stable on
+    # both engines)
+    return (v.groupBy("url", "key")
+             .agg(F.concat_ws("|", F.array_sort(F.collect_list("message")))
+                  .alias("messages")))
+
+
 def q_events_verdicts(spark, sf_dir):
     """Validation over the events table: enum membership, value range,
     JSON-ish props extraction (C1/C5 archetypes on a second table shape)."""
@@ -241,6 +257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": q_media_metadata,
         "frame_sample": q_frame_sample,
         "events_verdicts": q_events_verdicts,
+        "violations_grouped": q_violations_grouped,
         # rows-only checks (no SQL-expressible oracle; pytest-verified)
         "simhash": q_simhash,
         "ann_brute_topk": q_ann_brute_topk,
@@ -273,4 +290,5 @@ def oracle_sql() -> dict[str, str]:
         "media_metadata": oracle.media_metadata(),
         "frame_sample": oracle.frame_sample(),
         "events_verdicts": oracle.events_verdicts(),
+        "violations_grouped": oracle.violations_grouped(),
     }

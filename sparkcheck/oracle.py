@@ -285,6 +285,14 @@ SELECT media_id, frame_idx, frame_idx * {every_n} AS offset,
 FROM f WHERE frame_idx * {every_n} < length(s)"""
 
 
+def violations_grouped() -> str:
+    """B13 grouping oracle: same violation rows as violations(), grouped per
+    (url, key) with insertion-order (single rule per row here) message concat."""
+    return f"""WITH viol AS ({violations()})
+SELECT url, key, string_agg(message, '|' ORDER BY message) AS messages
+FROM viol WHERE key IS NOT NULL GROUP BY url, key"""
+
+
 def events_verdicts() -> str:
     """Fail-fast cascade over the events table (engine parity on a second
     table shape)."""
