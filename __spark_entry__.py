@@ -168,14 +168,7 @@ def q_violations_grouped(spark, sf_dir):
     insertion order (rule_idx, seq)."""
     _, res = S.run_suite(spark, sf_dir, replicas=REPLICAS,
                          with_stats=False, with_drift=False)
-    v = res.violations.filter(F.col("key").isNotNull())
-    # within one logical record insertion order is (rule_idx, seq); across
-    # physically distinct rows sharing a url there is no defined insertion
-    # order, so the grouped view sorts messages lexicographically (stable on
-    # both engines)
-    return (v.groupBy("url", "key")
-             .agg(F.concat_ws("|", F.array_sort(F.collect_list("message")))
-                  .alias("messages")))
+    return res.errors_object_df()
 
 
 def q_events_verdicts(spark, sf_dir):

@@ -92,6 +92,15 @@ class ValidationResult:
             self._metrics_forced = True
         return dict(self._observation.get)
 
+    def errors_object_df(self) -> DataFrame:
+        """B13 (toObject grouping) as a distributed view: per (key_col, key),
+        messages sorted lexicographically (insertion order is only defined
+        within one logical record; see src/index.ts:40-55)."""
+        v = self.violations.filter(F.col("key").isNotNull())
+        return (v.groupBy(self.key_col, "key")
+                 .agg(F.concat_ws("|", F.array_sort(F.collect_list("message")))
+                      .alias("messages")))
+
     def success(self) -> bool:
         """Run-level success: no failing rows and all run checks pass
         (the gate Command.run applies, src/index.ts:280-289)."""

@@ -48,6 +48,30 @@ def eval_py(c: SimpleCheck, row: dict):
             "==": v == c.lit, "!=": v != c.lit}[c.op]
 
 
+@dataclass(frozen=True)
+class RefRule:
+    """Referential lookup vs a literal dim set (C2/C4 in miniature)."""
+
+    col: str
+    dim: tuple[int, ...]
+    anti: bool
+
+
+def eval_rule_py(rule, i: int, r: dict):
+    """One rule's emissions under the reference loop semantics."""
+    if isinstance(rule, RefRule):
+        v = r[rule.col]
+        hit = v is not None and v in rule.dim
+        failed = hit if rule.anti else not hit
+        return [(rule.col, f"ref{i}")] if failed else []
+    emissions = []
+    for j, c in enumerate(rule):
+        ok = eval_py(c, r)
+        if ok is not True:
+            emissions.append((c.key, f"r{i}c{j}"))
+    return emissions
+
+
 def interpret(rows, constraints, rules):
     """Direct Python restatement of the reference's validate():
     returns per-row (success, step, rule_idx, [(key, message), ...])."""
@@ -64,11 +88,7 @@ def interpret(rows, constraints, rules):
             continue
         failed = None
         for i, rule in enumerate(rules):
-            emissions = []
-            for j, c in enumerate(rule):
-                ok = eval_py(c, r)
-                if ok is not True:
-                    emissions.append((c.key, f"r{i}c{j}"))
+            emissions = eval_rule_py(rule, i, r)
             if emissions:  # bag.hasErrors() after the rule → stop
                 failed = (i, tuple(emissions))
                 break
@@ -91,26 +111,43 @@ rows_st = st.lists(
     st.tuples(*[st.one_of(st.none(), st.integers(-3, 3)) for _ in COLS]),
     min_size=1, max_size=12)
 
+ref_rule_st = st.builds(
+    RefRule,
+    col=st.sampled_from(COLS),
+    dim=st.sets(st.integers(-3, 3), min_size=1, max_size=4).map(tuple),
+    anti=st.booleans())
+
+rule_st = st.one_of(st.lists(check_st, min_size=1, max_size=2), ref_rule_st)
+
 
 @settings(max_examples=12, deadline=None,
           suppress_health_check=list(HealthCheck))
 @given(rows=rows_st,
        constraints=st.lists(check_st.map(
            lambda c: SimpleCheck(c.col, c.op, c.lit, c.col)), max_size=2),
-       rules=st.lists(st.lists(check_st, min_size=1, max_size=2),
-                      max_size=3))
+       rules=st.lists(rule_st, max_size=3))
 def test_engine_equals_naive_interpreter(spark, rows, constraints, rules):
+    from sparkcheck.model import ReferentialRule
     data = [(i,) + r for i, r in enumerate(rows)]
     df = spark.createDataFrame(data, "rowid int, a int, b int, c int")
 
     v = build_validator().input(constraints=[
         FieldConstraint(c.key, to_sql(c), f"schema:{c.col}{c.op}{c.lit}")
         for c in constraints], key_col="rowid")
+    deps = {}
     for i, rule in enumerate(rules):
-        v = v.rule(FieldRule(id=f"rule-{i}", checks=[
-            Check(ok_expr=to_sql(c), key=c.key, message=f"r{i}c{j}")
-            for j, c in enumerate(rule)]))
-    v.provide()
+        if isinstance(rule, RefRule):
+            dim_name = f"dim{i}"
+            deps[dim_name] = spark.createDataFrame(
+                [(x,) for x in rule.dim], "k int")
+            v = v.rule(ReferentialRule(id=f"rule-{i}", col=rule.col,
+                                       dim=dim_name, dim_key="k",
+                                       anti=rule.anti, message=f"ref{i}"))
+        else:
+            v = v.rule(FieldRule(id=f"rule-{i}", checks=[
+                Check(ok_expr=to_sql(c), key=c.key, message=f"r{i}c{j}")
+                for j, c in enumerate(rule)]))
+    v.provide(**deps)
     res = v.validate(df, persist=False)
 
     verd = {r["rowid"]: r for r in res.verdicts.collect()}
