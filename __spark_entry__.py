@@ -194,10 +194,9 @@ def q_events_verdicts(spark, sf_dir):
     return res.verdicts.select("event_id", "success", "rule_id", "step")
 
 
-# --- rows-only (non-SQL-expressible; pytest-verified vs python oracles) ------
-
-
 def q_simhash(spark, sf_dir):
+    """Portable md5-nibble SimHash — DuckDB recomputes the identical
+    fingerprint (oracle.simhash)."""
     return dedup.simhash(_docs(spark, sf_dir), id_col="doc_id")
 
 
@@ -206,19 +205,31 @@ def q_ann_brute_topk(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    return similarity.lsh_topk(_emb(spark, sf_dir), [0, 1, 2, 3, 4], k=10)
+    """LSH ANN with md5-derived hyperplanes (engine-independent) — the
+    bucket signature is reproduced bit-for-bit by the DuckDB oracle;
+    2-table OR-construction for recall."""
+    return similarity.lsh_topk(_emb(spark, sf_dir), [0, 1, 2, 3, 4], k=10,
+                               tables=2)
 
 
 def q_media_features(spark, sf_dir):
-    return multimodal.extract_features(_pages(spark, sf_dir), "html", "rid",
-                                       kind="page")
+    """mapInPandas decode + feature extraction, projected to a stable scalar
+    digest (raw array<float> is not canonicalizable by the driver's
+    value-hash compare)."""
+    feats = multimodal.extract_features(_pages(spark, sf_dir), "html", "rid",
+                                        kind="page")
+    return multimodal.features_digest(feats)
 
 
 def q_embedding_near_dups(spark, sf_dir):
     """LSH-bucketed all-pairs cosine near-duplicates (threshold low enough to
-    return rows on random embeddings; scores pytest-verified vs brute)."""
+    return rows on random embeddings). bits sizes the bucket count — scale it
+    with N in production (2^bits ≈ N / target_bucket_size)."""
     return similarity.embedding_near_dups(_emb(spark, sf_dir), threshold=0.4,
-                                          bits=4)
+                                          bits=6)
+
+
+# --- rows-only (engine-specific by nature; pytest-verified) ------------------
 
 
 def q_partition_stats(spark, sf_dir):
@@ -251,12 +262,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "events_verdicts": q_events_verdicts,
         "violations_grouped": q_violations_grouped,
-        # rows-only checks (no SQL-expressible oracle; pytest-verified)
         "simhash": q_simhash,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "media_features": q_media_features,
         "embedding_near_dups": q_embedding_near_dups,
+        # rows-only check (keyed by spark_partition_id — engine-specific by
+        # nature, no SQL-expressible oracle; pytest-verified)
         "partition_stats": q_partition_stats,
     }
 
@@ -284,4 +296,9 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample": oracle.frame_sample(),
         "events_verdicts": oracle.events_verdicts(),
         "violations_grouped": oracle.violations_grouped(),
+        "simhash": oracle.simhash(),
+        "ann_brute_topk": oracle.ann_brute_topk(),
+        "ann_lsh_topk": oracle.ann_lsh_topk(),
+        "media_features": oracle.media_features(),
+        "embedding_near_dups": oracle.embedding_near_dups(),
     }

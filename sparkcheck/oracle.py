@@ -266,6 +266,109 @@ SELECT q.query_id, e.vec_id,
 FROM embeddings e CROSS JOIN q"""
 
 
+def _cos_sql(av: str, bv: str, dim_of: str) -> str:
+    """Cosine of two DuckDB list exprs, 4dp-floored (same double-precision
+    element-order summation as operators/similarity.cosine)."""
+    def dot(x, y):
+        return (f"list_sum(list_transform(range(1, len({dim_of}) + 1), "
+                f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)))")
+    return (f"FLOOR(({dot(av, bv)} / (sqrt({dot(av, av)}) * "
+            f"sqrt({dot(bv, bv)}))) * 10000 + 0.5) / 10000.0")
+
+
+def simhash(bits: int = 32) -> str:
+    """SimHash oracle: the md5-nibble formulation of operators/dedup.py
+    (nibble i odd → +1 vote else -1; votes>0 → bit i) is pure ANSI SQL."""
+    odd = "('1','3','5','7','9','b','d','f')"
+    terms = ", ".join(
+        f"CASE WHEN list_sum(list_transform(hs, x -> "
+        f"CASE WHEN substr(x, {i + 1}, 1) IN {odd} THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {2 ** i} ELSE 0 END" for i in range(bits))
+    return f"""
+WITH h AS (SELECT doc_id AS id,
+                  list_transform(string_split(text, ' '), w -> md5(w)) AS hs
+           FROM documents WHERE text IS NOT NULL)
+SELECT id, CAST(list_sum([{terms}]) AS BIGINT) AS simhash FROM h"""
+
+
+def ann_brute_topk(query_ids=(0, 1, 2, 3, 4), k: int = 10) -> str:
+    """Exact top-k oracle: rank the 4dp-rounded cosine scores (ties broken by
+    vec_id, matching similarity.brute_topk's deterministic window order)."""
+    return f"""
+WITH scored AS ({cosine_scores(query_ids)}),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, vec_id) AS INT) AS rank
+  FROM scored WHERE vec_id <> query_id)
+SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {k}"""
+
+
+def _lsh_buckets_cte(dim: int = 64, bits: int = 8, seed: int = 7,
+                     tables: int = 1) -> str:
+    from .operators.similarity import lsh_bucket_sql, table_seed
+    per_table = " UNION ALL ".join(
+        f"SELECT vec_id, embedding, {t} AS t, CAST("
+        + lsh_bucket_sql("embedding", dim, bits, table_seed(seed, t))
+        + " AS BIGINT) AS bkt FROM embeddings"
+        for t in range(tables))
+    return f"b AS ({per_table})"
+
+
+def ann_lsh_topk(query_ids=(0, 1, 2, 3, 4), k: int = 10, dim: int = 64,
+                 bits: int = 8, seed: int = 7, tables: int = 2) -> str:
+    """LSH ANN oracle: identical md5-derived hyperplanes (shared integer
+    literals) + the same sequential-fold dot product → bit-identical bucket
+    signatures per table, OR-construction over tables, then scoring +
+    ranking as in brute."""
+    ids = ", ".join(str(i) for i in query_ids)
+    cos = _cos_sql("q.qv", "b.embedding", "b.embedding")
+    return f"""
+WITH {_lsh_buckets_cte(dim, bits, seed, tables)},
+q AS (SELECT vec_id AS query_id, embedding AS qv, t AS qt, bkt AS qbkt
+      FROM b WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT DISTINCT q.query_id, b.vec_id, {cos} AS score
+  FROM b JOIN q ON b.bkt = q.qbkt AND b.t = q.qt
+  WHERE b.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, vec_id) AS INT) AS rank
+  FROM scored)
+SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {k}"""
+
+
+def embedding_near_dups(threshold: float = 0.4, dim: int = 64,
+                        bits: int = 6, seed: int = 7) -> str:
+    """LSH-bucketed near-duplicate oracle (same buckets as the engine)."""
+    cos = _cos_sql("x.embedding", "y.embedding", "x.embedding")
+    return f"""
+WITH {_lsh_buckets_cte(dim, bits, seed)},
+pairs AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b, {cos} AS score
+  FROM b x JOIN b y ON x.bkt = y.bkt AND x.vec_id < y.vec_id)
+SELECT id_a, id_b, score FROM pairs WHERE score >= {threshold}"""
+
+
+def media_features() -> str:
+    """Recomputes fake_decoder exactly in SQL (hash-derived integer features,
+    see operators/multimodal.fake_decoder) and the engine-side feat_hash
+    projection (operators/multimodal.features_digest)."""
+    feat = ("md5(array_to_string(list_transform(range(0, 16), j -> "
+            "CAST((('0x' || substr(md5(sha || ':' || j), 1, 8))::BIGINT "
+            "% 20001) - 10000 AS VARCHAR)), ','))")
+    seed = "('0x' || substr(sha, 1, 8))::BIGINT"
+    return f"""WITH pages AS ({pages_cte('duckdb', REPLICAS)}),
+m AS (SELECT CAST(rid AS STRING) AS media_id, 'page' AS kind,
+             octet_length(html) AS byte_len, sha256(decode(html)) AS sha
+      FROM pages WHERE html IS NOT NULL)
+SELECT media_id, kind, byte_len, {feat} AS feat_hash,
+       CAST(16 + {seed} % 1024 AS INT) AS width,
+       CAST(16 + ({seed} // 1024) % 1024 AS INT) AS height
+FROM m"""
+
+
 def media_metadata() -> str:
     return f"""WITH pages AS ({pages_cte('duckdb', REPLICAS)})
 SELECT CAST(rid AS STRING) AS media_id, 'page' AS kind,

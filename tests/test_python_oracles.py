@@ -92,18 +92,31 @@ def test_brute_topk_matches_numpy(spark):
 def test_lsh_topk_recall_reasonable(spark):
     emb = _emb(spark)
     brute = similarity.brute_topk(emb, [0, 1, 2, 3, 4], k=10).collect()
-    lsh = similarity.lsh_topk(emb, [0, 1, 2, 3, 4], k=10, bits=4).collect()
+    lsh = similarity.lsh_topk(emb, [0, 1, 2, 3, 4], k=10, bits=4,
+                              tables=4).collect()
     b = {(r["query_id"], r["vec_id"]) for r in brute}
     l = {(r["query_id"], r["vec_id"]) for r in lsh}
     recall = len(b & l) / len(b)
-    # 4-bit buckets on random vectors: expect partial but nontrivial recall
-    assert recall > 0.1, recall
+    # 4-bit × 4-table OR-construction on random vectors: nontrivial recall
+    assert recall > 0.15, recall
     # LSH scores must agree with brute scores on the intersection
     bscore = {(r["query_id"], r["vec_id"]): r["score"] for r in brute}
     for r in lsh:
         key = (r["query_id"], r["vec_id"])
         if key in bscore:
             assert abs(r["score"] - bscore[key]) < 1e-9
+
+
+def test_lsh_bucket_udf_matches_sql_expr(spark):
+    """The Arrow-matmul bucket UDF (scale path) and the codegen SQL bucket
+    expression (oracle path) must assign identical signatures."""
+    emb = _emb(spark)
+    udf_b = similarity.lsh_bucket_udf(64, bits=8, seed=7)
+    got = (emb.select(
+        udf_b(F.col("embedding")).alias("u"),
+        similarity.lsh_bucket_expr("embedding", 64, bits=8, seed=7).alias("s"))
+        .filter(F.col("u") != F.col("s")).count())
+    assert got == 0
 
 
 # --- media features (mapInPandas plumbing with deterministic fake decoder) ---
@@ -124,9 +137,50 @@ def test_media_features_deterministic_and_correct(spark):
         assert r["byte_len"] == len(raw[r["media_id"]])
 
 
-def test_real_decoder_is_explicit_stub():
+def test_real_decoder_unsupported_formats_raise():
+    # formats needing PIL/librosa/ffmpeg stay an explicit, documented stub
     with pytest.raises(NotImplementedError):
-        multimodal.real_decoder(b"bytes", "image")
+        multimodal.real_decoder(b"\x89PNG\r\n", "image")
+    with pytest.raises(NotImplementedError):
+        multimodal.real_decoder(b"ID3\x04", "audio")
+
+
+def _ppm_bytes(w: int, h: int) -> bytes:
+    px = bytes((x * 7 + 13) % 256 for x in range(w * h * 3))
+    return f"P6\n# test comment\n{w} {h}\n255\n".encode() + px
+
+
+def _wav_bytes(n_frames: int, ch: int = 2) -> bytes:
+    import io
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(ch)
+        f.setsampwidth(2)
+        f.setframerate(8000)
+        f.writeframes(bytes((i * 31) % 256 for i in range(n_frames * ch * 2)))
+    return buf.getvalue()
+
+
+def test_real_decoder_ppm_and_wav_on_real_bytes(spark):
+    ppm = _ppm_bytes(8, 6)
+    feat, w, h = multimodal.real_decoder(ppm, "image")
+    assert (w, h) == (8, 6) and len(feat) == multimodal.FEAT_DIM
+    # feature = mean pixel value per 1/16th of the payload
+    px = np.frombuffer(ppm[-8 * 6 * 3:], dtype=np.uint8).astype(np.float64)
+    assert abs(feat[0] - np.array_split(px, 16)[0].mean()) < 1e-3
+
+    wav = _wav_bytes(64)
+    feat2, nf, meta = multimodal.real_decoder(wav, "audio")
+    assert nf == 64 and meta == 2016  # 2 channels × 1000 + 16 bits
+
+    # end-to-end through the Spark mapInPandas path on real bytes
+    df = spark.createDataFrame([("img-1", ppm)], "media_id string, blob binary")
+    rows = multimodal.extract_features(df, "blob", "media_id", kind="image",
+                                       decoder=multimodal.real_decoder) \
+        .collect()
+    assert len(rows) == 1 and rows[0]["width"] == 8
+    assert np.allclose(rows[0]["feat"], feat)
 
 
 # --- HLL distinct within rsd tolerance vs exact --------------------------------
