@@ -186,12 +186,32 @@ def q_events_verdicts(spark, sf_dir):
          .field_rule("value-range", "value BETWEEN 0 AND 10",
                      "value out of range", key="value", value="value")
          .field_rule("props-k-range",
-                     "CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS INT) "
-                     "BETWEEN 0 AND 100",
+                     "try_cast(regexp_extract(props, '\"k\": ([0-9]+)', 1) "
+                     "AS INT) BETWEEN 0 AND 100",
                      "props.k out of range", key="props", value="props")
          .provide())
     res = v.validate(events, persist=False)
     return res.verdicts.select("event_id", "success", "rule_id", "step")
+
+
+def q_nested_props(spark, sf_dir):
+    """B4 nested-path constraints end-to-end: props parsed into a real struct
+    column, the schema-stage constraint targets the nested field — violations
+    carry the dotted key and the nested field's value (src/index.ts:101-113
+    path-join convention)."""
+    from sparkcheck import FieldConstraint, build_validator
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "props_s", F.struct(
+            F.expr("try_cast(regexp_extract(props, '\"k\": ([0-9]+)', 1) "
+                   "AS INT)").alias("k")))
+    v = (build_validator()
+         .input(constraints=[FieldConstraint(
+             "props_s.k",
+             "props_s.k IS NOT NULL AND props_s.k BETWEEN 0 AND 50",
+             "props.k out of range")], key_col="event_id"))
+    res = v.validate(events, persist=False)
+    return res.violations.select("event_id", "key", "message",
+                                 "offending_value")
 
 
 def q_simhash(spark, sf_dir):
@@ -261,6 +281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": q_media_metadata,
         "frame_sample": q_frame_sample,
         "events_verdicts": q_events_verdicts,
+        "nested_props": q_nested_props,
         "violations_grouped": q_violations_grouped,
         "simhash": q_simhash,
         "ann_brute_topk": q_ann_brute_topk,
@@ -295,6 +316,7 @@ def oracle_sql() -> dict[str, str]:
         "media_metadata": oracle.media_metadata(),
         "frame_sample": oracle.frame_sample(),
         "events_verdicts": oracle.events_verdicts(),
+        "nested_props": oracle.nested_props(),
         "violations_grouped": oracle.violations_grouped(),
         "simhash": oracle.simhash(),
         "ann_brute_topk": oracle.ann_brute_topk(),

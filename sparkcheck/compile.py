@@ -116,17 +116,104 @@ def field_rule_outcome(rule: FieldRule) -> Column:
     return checks_outcome(rule.checks)
 
 
-def schema_emissions(constraints: list[FieldConstraint]) -> Column:
+def schema_emissions(constraints: list[FieldConstraint],
+                     shape_checks: list[Check] | None = None,
+                     df=None) -> Column:
     """Schema-stage violations: ALL failing constraints are reported together
     (the reference surfaces every schema issue at once, src/index.ts:96-121),
-    unlike rules which fail-fast at rule granularity."""
-    checks = [Check(ok_expr=c.check, key=c.key, message=c.message,
-                    value=F.col(c.key.split(".")[0]) if "." not in c.key else None)
-              for c in constraints]
+    unlike rules which fail-fast at rule granularity.
+
+    Declared-shape checks (missing/extra/type-mismatch, from
+    apply_declared_struct) come first, then per-field constraints — seq keeps
+    B11 insertion order across both. A dotted constraint key (B4 nested
+    paths, src/index.ts:101-113) doubles as the offending-value expression,
+    so `props.k` reports the nested field's value; keys that are not
+    resolvable column paths (e.g. array-index segments like `tags.0`) fall
+    back to a NULL value unless FieldConstraint.value overrides it."""
+
+    def default_value(key: str):
+        e = F.expr(key)
+        if df is None:
+            return e
+        try:
+            df.select(e)  # driver-side analysis probe, no job
+            return e
+        except Exception:
+            return None
+
+    checks = list(shape_checks or [])
+    checks += [Check(ok_expr=c.check, key=c.key, message=c.message,
+                     value=c.value if c.value is not None
+                     else default_value(c.key))
+               for c in constraints]
     if not checks:
-        return F.array().cast(
-            "array<struct<key:string,message:string,value:string,seq:int>>")
+        return empty_emissions()
     return checks_outcome(checks)["emissions"]
+
+
+def apply_declared_struct(df, declared):
+    """A2 declared-StructType enforcement ("parse, don't validate",
+    src/standard-schema.ts:18-37): diff the declared shape against the
+    DataFrame schema and return (df', shape_checks) where
+
+    - a MISSING declared column → always-firing Check (key=name) AND the
+      column is projected in as a typed NULL so later rules/constraints
+      still compile against the declared shape;
+    - an EXTRA undeclared column → always-firing Check (underscore-prefixed
+      engine-internal columns exempt);
+    - a TYPE MISMATCH → always-firing Check with the per-row value as the
+      offending value; nested StructTypes are diffed recursively, emitting
+      dotted-path keys.
+
+    Spark schemas are uniform per DataFrame, so these checks are static per
+    batch — they compile to literal emissions, costing nothing per row."""
+    from pyspark.sql.types import StructType
+
+    if declared is None:
+        return df, []
+    if isinstance(declared, str):
+        declared = StructType.fromDDL(declared)
+    actual = df.schema
+    checks: list[Check] = []
+
+    def diff(dec: StructType, act: StructType, prefix: str) -> None:
+        act_by_name = {f.name: f for f in act.fields}
+        for f in dec.fields:
+            path = f"{prefix}{f.name}"
+            a = act_by_name.get(f.name)
+            if a is None:
+                checks.append(Check(
+                    ok_expr=F.lit(False), key=path,
+                    message=f"Required column '{path}' is missing"))
+                continue
+            if a.dataType == f.dataType:
+                continue
+            if isinstance(f.dataType, StructType) \
+                    and isinstance(a.dataType, StructType):
+                diff(f.dataType, a.dataType, f"{path}.")
+                continue
+            checks.append(Check(
+                ok_expr=F.lit(False), key=path,
+                message=(f"Invalid type for column '{path}': expected "
+                         f"{f.dataType.simpleString()}, received "
+                         f"{a.dataType.simpleString()}"),
+                value=F.expr(path)))
+        for f in act.fields:
+            if f.name not in {d.name for d in dec.fields} \
+                    and not f.name.startswith("_"):
+                checks.append(Check(
+                    ok_expr=F.lit(False), key=f"{prefix}{f.name}",
+                    message=f"Unexpected column '{prefix}{f.name}'"))
+
+    diff(declared, actual, "")
+    # parse, don't validate: project missing top-level columns in as typed
+    # NULLs so the declared shape holds downstream
+    present = set(df.columns)
+    add = [F.lit(None).cast(f.dataType).alias(f.name)
+           for f in declared.fields if f.name not in present]
+    if add:
+        df = df.select("*", *add)
+    return df, checks
 
 
 def empty_emissions() -> Column:

@@ -12,10 +12,16 @@ compile.py). Dataset-level rules (unique) are computed over the *frontier* —
 rows not failed by any earlier stage — preserving the reference's "later rules
 never ran" observability for aggregates (SURVEY.md §7 hard part a).
 
-Scale design (north_rule): dimension joins are broadcast; uniqueness is a
-salted two-phase repartition-and-count whose duplicate-key list is broadcast
-back (no skewed shuffle join on hot urls); everything else is one
-partition-parallel pass with whole-stage codegen.
+Scale design (north_rule): dimension joins are broadcast (dims are bounded —
+ISO codes, product catalogs); uniqueness is a salted two-phase
+repartition-and-count. Data-dependent frames (duplicate-key lists, offender
+aggregates) are joined back WITHOUT a static broadcast hint: on web data
+duplicate urls are a double-digit percentage, so at 10^12 rows those frames
+are unbounded and a forced broadcast OOMs every executor. AQE is the
+threshold gate — it observes the actual post-aggregation size at the shuffle
+boundary and converts to a runtime broadcast join only under
+spark.sql.autoBroadcastJoinThreshold, else keeps a shuffled join with skew
+splitting (verified in tests/test_scale_behavior.py).
 """
 
 from __future__ import annotations
@@ -94,12 +100,18 @@ class ValidationResult:
 
     def errors_object_df(self) -> DataFrame:
         """B13 (toObject grouping) as a distributed view: per (key_col, key),
-        messages sorted lexicographically (insertion order is only defined
-        within one logical record; see src/index.ts:40-55)."""
+        messages concatenated in INSERTION order (rule_idx, seq) — exactly
+        ErrorBag.to_object() / the reference's toObject (src/index.ts:40-55).
+        collect_list is order-nondeterministic under shuffle, so each message
+        carries its sort key into the aggregate and is ordered inside it."""
         v = self.violations.filter(F.col("key").isNotNull())
+        ordered = F.transform(
+            F.array_sort(F.collect_list(F.struct(
+                F.col("rule_idx").alias("ri"), F.col("seq").alias("sq"),
+                F.col("message").alias("m")))),
+            lambda e: e["m"])
         return (v.groupBy(self.key_col, "key")
-                 .agg(F.concat_ws("|", F.array_sort(F.collect_list("message")))
-                      .alias("messages")))
+                 .agg(F.concat_ws("|", ordered).alias("messages")))
 
     def success(self) -> bool:
         """Run-level success: no failing rows and all run checks pass
@@ -162,9 +174,16 @@ def run_validation(df: DataFrame, builder: ValidatorBuilder,
         # deterministic 'now' (C8) — pinned per run, never Date.now()
         df = df.withColumn("_run_ts", F.lit(run_ts).cast("timestamp"))
 
-    # ---- schema stage (B3/B4) --------------------------------------------
-    constraints = builder._schema.constraints if builder._schema else []
-    df = df.withColumn("_schema_em", C.schema_emissions(constraints))
+    # ---- schema stage (A2/B3/B4) ------------------------------------------
+    # declared-StructType diff first ("parse, don't validate"): missing /
+    # extra / type-mismatched columns become always-firing schema checks and
+    # missing columns are projected in as typed NULLs
+    schema = builder._schema
+    df, shape_checks = C.apply_declared_struct(
+        df, schema.struct if schema else None)
+    constraints = schema.constraints if schema else []
+    df = df.withColumn("_schema_em",
+                       C.schema_emissions(constraints, shape_checks, df))
     fail_branches: list[tuple[int, Column]] = []  # (rule_idx, failed?) in order
     schema_failed = F.size("_schema_em") > 0
 
@@ -274,7 +293,11 @@ def run_validation(df: DataFrame, builder: ValidatorBuilder,
                                   salt_buckets=rule.salt_buckets)
             dups = dups.select(F.col(rule.col).alias(f"_dk{i}"),
                                F.col("cnt").alias(f"_dcnt{i}"))
-            df = df.join(F.broadcast(dups),
+            # no broadcast hint: the dup-key list is O(duplicate keys) —
+            # unbounded on web data. AQE sizes it at runtime and broadcasts
+            # only under the threshold; above it this stays a shuffled join
+            # (both sides already hash-partitioned by the key from the agg).
+            df = df.join(dups,
                          on=F.col(rule.col) == F.col(f"_dk{i}"), how="left")
             failed = F.col(f"_dk{i}").isNotNull()
             msg = rule.message or F.format_string(
@@ -416,7 +439,10 @@ def _array_all_stage(df: DataFrame, deps: dict, rule: ArrayAllRule, i: int,
                      F.array_sort(F.collect_list(F.struct(
                          F.col("_pos").alias("p"), fmt.alias("m")))),
                      lambda x: x["m"])).alias(f"_off{i}")))
-    df = df.join(F.broadcast(agg), on=F.col(key_col) == F.col("_ak"),
+    # plain equi-join on the key: the offender aggregate has one row per
+    # offending key — O(rows) worst case, never force-broadcast it. The
+    # groupBy already paid the shuffle; AQE may still broadcast when small.
+    df = df.join(agg, on=F.col(key_col) == F.col("_ak"),
                  how="left").drop("_ak")
     failed = F.col(f"_off{i}").isNotNull()
     msg = F.concat(F.lit(rule.message_prefix), F.coalesce(

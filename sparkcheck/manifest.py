@@ -4,27 +4,39 @@ checkpoint manifest recording per-partition lineage and metrics").
 Batch resumability without Structured Streaming (SURVEY.md §2.D): the unit of
 lineage is the INPUT FILE (≙ an Iceberg file-scan task). A run writes, per
 input file: row count, verdict counts, and status — plus the run-level
-outputs. On resume, files already marked complete are anti-joined away and
-only the remainder is processed; outputs append. Aggregate outputs (stats,
-drift) are recomputed per increment and stored per run_id — mergeable because
+outputs. On resume, completed files are removed with a DataFrame ANTI-JOIN
+(never a driver-side file list — at 10^12 rows the input has millions of
+files) and only the remainder is processed. Aggregate outputs (stats, drift)
+are recomputed per increment and stored per run_id — mergeable because
 per-file lineage partitions the input disjointly.
+
+Crash consistency: output parquet is written FIRST, the manifest entries
+LAST — the manifest append is the commit point. A crash between the two
+leaves output partitions whose run_id has no manifest entries; `reconcile`
+drops those orphan partitions on the next resume before reprocessing, so
+re-validated files never produce duplicate output rows. Single concurrent
+writer per checkpoint base is assumed (same as a Structured Streaming
+checkpoint dir).
 
 Layout under <base>/:
     verdicts/     parquet, partitioned by run_id
     violations/   parquet, partitioned by run_id
     stats/        parquet, per run_id
-    manifest.json lines: one record per (run_id, input_file)
+    sketches/     parquet, per run_id (mergeable HLL)
+    manifest/     parquet: one row per (run_id, input_file) — commit records
 """
 
 from __future__ import annotations
 
-import json
 import os
+import shutil
 import time
-from dataclasses import asdict, dataclass
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+OUTPUT_DIRS = ("verdicts", "violations", "stats", "sketches")
 
 
 @dataclass
@@ -34,29 +46,78 @@ class FileEntry:
     rows: int
     failed_rows: int
     status: str  # 'complete'
-    wall_sec: float
+    wall_sec: float  # run-level wall clock (same value on every entry of a run)
+
+
+ENTRY_DDL = ("run_id string, input_file string, rows bigint, "
+             "failed_rows bigint, status string, wall_sec double")
 
 
 class CheckpointManifest:
     def __init__(self, base: str) -> None:
         self.base = base
-        self.path = os.path.join(base, "manifest.json")
+        self.dir = os.path.join(base, "manifest")
         os.makedirs(base, exist_ok=True)
 
+    def _read(self, spark: SparkSession) -> DataFrame | None:
+        try:
+            return spark.read.parquet(self.dir)
+        except Exception:
+            return None  # no manifest yet
+
+    def completed_files_df(self, spark: SparkSession) -> DataFrame | None:
+        """DataFrame(input_file) of completed files — the anti-join side.
+        None when no manifest exists yet."""
+        m = self._read(spark)
+        if m is None:
+            return None
+        return (m.filter(F.col("status") == "complete")
+                 .select("input_file").distinct())
+
     def completed_files(self) -> set[str]:
-        done = set()
-        if os.path.exists(self.path):
-            with open(self.path) as f:
-                for line in f:
-                    rec = json.loads(line)
-                    if rec["status"] == "complete":
-                        done.add(rec["input_file"])
-        return done
+        """Driver-side convenience view (tests / small checkpoints only —
+        run_resumable itself never collects the file list)."""
+        spark = SparkSession.getActiveSession()
+        df = self.completed_files_df(spark)
+        return set() if df is None else {r["input_file"] for r in df.collect()}
+
+    def run_ids(self, spark: SparkSession) -> set[str]:
+        m = self._read(spark)
+        if m is None:
+            return set()
+        return {r["run_id"] for r in m.select("run_id").distinct().collect()}
+
+    def append_df(self, entries: DataFrame) -> None:
+        """THE commit point: manifest rows are written only after all of the
+        run's outputs are durable."""
+        entries.write.mode("append").parquet(self.dir)
 
     def append(self, entries: list[FileEntry]) -> None:
-        with open(self.path, "a") as f:
-            for e in entries:
-                f.write(json.dumps(asdict(e)) + "\n")
+        spark = SparkSession.getActiveSession()
+        rows = [(e.run_id, e.input_file, e.rows, e.failed_rows, e.status,
+                 e.wall_sec) for e in entries]
+        self.append_df(spark.createDataFrame(rows, ENTRY_DDL))
+
+    def reconcile(self, spark: SparkSession) -> list[str]:
+        """Drop output partitions whose run_id never reached the manifest
+        (a run crashed between the output writes and the commit). Local-fs
+        implementation removes `run_id=<x>` partition dirs; on an object
+        store / Iceberg this is the same operation against the table
+        metadata. Returns the orphaned run_ids removed."""
+        committed = self.run_ids(spark)
+        orphans: set[str] = set()
+        for sub in OUTPUT_DIRS:
+            d = os.path.join(self.base, sub)
+            if not os.path.isdir(d):
+                continue
+            for part in os.listdir(d):
+                if not part.startswith("run_id="):
+                    continue
+                rid = part.split("=", 1)[1]
+                if rid not in committed:
+                    shutil.rmtree(os.path.join(d, part), ignore_errors=True)
+                    orphans.add(rid)
+        return sorted(orphans)
 
 
 def global_distinct(spark: SparkSession, base: str):
@@ -70,7 +131,8 @@ def global_distinct(spark: SparkSession, base: str):
 def run_resumable(spark: SparkSession, input_glob: str, build_validator_fn,
                   base: str, run_id: str | None = None,
                   key_col: str = "url", sketch_cols: list[str] | None = None):
-    """Validate only not-yet-completed input files; append outputs + manifest.
+    """Validate only not-yet-completed input files; append outputs, then
+    commit via the manifest.
 
     build_validator_fn(spark, df) -> (ValidatorBuilder bound via provide, df)
     — the caller derives the actual validation input from the raw file scan
@@ -80,33 +142,28 @@ def run_resumable(spark: SparkSession, input_glob: str, build_validator_fn,
     """
     run_id = run_id or f"run-{int(time.time() * 1000)}"
     manifest = CheckpointManifest(base)
-    done = manifest.completed_files()
+    manifest.reconcile(spark)  # drop uncommitted leftovers before reprocessing
 
     raw = spark.read.parquet(input_glob) \
         .withColumn("_input_file", F.input_file_name())
-    all_files = [r["_input_file"] for r in
-                 raw.select("_input_file").distinct().collect()]
-    todo = [f for f in all_files if f not in done]
-    if not todo:
+    done = manifest.completed_files_df(spark)
+    if done is not None:
+        # anti-join instead of a collected isin() list: `done` is O(files),
+        # broadcast by AQE when small, shuffled join when a checkpoint has
+        # millions of completed files
+        pending = raw.join(done,
+                           raw["_input_file"] == done["input_file"],
+                           "left_anti")
+    else:
+        pending = raw
+    if pending.limit(1).isEmpty():
         return run_id, 0, None
 
-    pending = raw.filter(F.col("_input_file").isin(todo))
     t0 = time.perf_counter()
     validator, df = build_validator_fn(spark, pending)
     result = validator.validate(df)
 
-    # per-file lineage metrics come from the verdicts frame itself — the
-    # engine carries _input_file through as an ordinary column
-    vd = result.verdicts
-    per_file = (result.annotated
-                .groupBy("_input_file")
-                .agg(F.count(F.lit(1)).alias("rows"),
-                     F.sum(F.col("_fail").isNotNull().cast("long"))
-                     .alias("failed_rows"))
-                .collect())
-    wall = time.perf_counter() - t0
-
-    (vd.withColumn("run_id", F.lit(run_id))
+    (result.verdicts.withColumn("run_id", F.lit(run_id))
        .write.mode("append").partitionBy("run_id")
        .parquet(os.path.join(base, "verdicts")))
     (result.violations.withColumn("run_id", F.lit(run_id))
@@ -121,11 +178,24 @@ def run_resumable(spark: SparkSession, input_glob: str, build_validator_fn,
         (column_sketches(df, sketch_cols).withColumn("run_id", F.lit(run_id))
            .write.mode("append").partitionBy("run_id")
            .parquet(os.path.join(base, "sketches")))
+    wall = time.perf_counter() - t0
 
-    manifest.append([
-        FileEntry(run_id=run_id, input_file=r["_input_file"],
-                  rows=r["rows"], failed_rows=r["failed_rows"] or 0,
-                  status="complete", wall_sec=round(wall, 3))
-        for r in per_file])
+    # per-file lineage metrics from the (persisted) annotated frame — built
+    # and written as a DataFrame, never collected to the driver
+    entries = (result.annotated
+               .groupBy("_input_file")
+               .agg(F.count(F.lit(1)).alias("rows"),
+                    F.coalesce(
+                        F.sum(F.col("_fail").isNotNull().cast("long")),
+                        F.lit(0)).alias("failed_rows"))
+               .select(F.lit(run_id).alias("run_id"),
+                       F.col("_input_file").alias("input_file"),
+                       "rows", "failed_rows",
+                       F.lit("complete").alias("status"),
+                       F.lit(round(wall, 3)).alias("wall_sec")))
+    manifest.append_df(entries)  # commit point
+    n_files = (spark.read.parquet(manifest.dir)
+               .filter(F.col("run_id") == run_id)
+               .select("input_file").distinct().count())
     result.unpersist()
-    return run_id, len(todo), result
+    return run_id, n_files, result

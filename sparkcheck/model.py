@@ -46,22 +46,37 @@ def invariant(condition: Any, message: str) -> None:
 class FieldConstraint:
     """One per-field shape predicate (archetype C1).
 
-    `key` is the violation key — dotted path for nested fields, matching the
-    reference's path-join convention (src/index.ts:101-113).
+    `key` is the violation key — a dotted path for nested fields, matching
+    the reference's path-join convention (src/index.ts:101-113), and is also
+    the default offending-value expression (so a constraint on `props.k`
+    reports the nested field's value, not NULL).
     `check` is a SQL boolean expression over the input columns; rows where it
-    is false (or null-fails a not-null check) emit a schema violation.
+    is false (or null) emit a schema violation.
+    `value` optionally overrides the offending-value expression (e.g.
+    `try_element_at(tags, 1)` for array elements under ANSI mode).
     """
 
     key: str
     check: ColumnLike
     message: str
+    value: Optional[ColumnLike] = None
 
 
 @dataclass
 class InputSchema:
-    """Declared shape: Spark StructType + ordered field constraints."""
+    """Declared shape: Spark StructType + ordered field constraints.
 
-    struct: Any  # pyspark.sql.types.StructType | None (None = inherit df schema)
+    `struct` (StructType or DDL string) is ENFORCED at validate() time
+    ("parse, don't validate", src/standard-schema.ts:18-37): missing columns,
+    undeclared extra columns, and type mismatches all become schema-stage
+    violations (step='schema', rule=None), and missing columns are projected
+    in as typed NULLs so later rules still compile against the declared
+    shape. Underscore-prefixed columns are engine-internal and exempt from
+    the extra-column check. Spark schemas are uniform per DataFrame, so these
+    issues fire for every row — exactly what per-record StandardSchema
+    validation would do on a homogeneous batch."""
+
+    struct: Any  # pyspark StructType | DDL string | None (None = inherit)
     constraints: list[FieldConstraint] = field(default_factory=list)
 
 

@@ -78,18 +78,31 @@ def with_minhash(df: DataFrame, id_col: str, text_col: str = "text",
                      F.col("bb")["bucket"].alias("bucket")))
 
 
+DEFAULT_MAX_BUCKET = 200  # pair blowup cap: ≤ cap²/2 pairs per bucket
+
+
 def minhash_candidates(df: DataFrame, id_col: str, text_col: str = "text",
-                       k: int = DEFAULT_K, bands: int = DEFAULT_BANDS) \
-        -> DataFrame:
+                       k: int = DEFAULT_K, bands: int = DEFAULT_BANDS,
+                       max_bucket: int = DEFAULT_MAX_BUCKET) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH bucket.
-    Self-join is bucket-local: groupBy collects ids per (band,bucket), pairs
-    are generated inside each bucket (buckets are small by construction;
-    pathological mega-buckets indicate true mass-duplication and surface in
-    the exact-dup check first)."""
+
+    Bucket-size cap (100-TB guard): on web data a mass-duplicated page puts
+    millions of ids into ONE (band,bucket) — within-bucket pairing is O(n²)
+    and a single collect_set row OOMs an executor. Bucket sizes are counted
+    FIRST (cheap map-side-combining agg); only buckets with 2..max_bucket
+    members are collected and paired. Overflowing buckets are mass
+    duplication — exact_duplicates catches those groups at O(n), and
+    minhash_bucket_stats surfaces them for logging."""
     bb = with_minhash(df, id_col, text_col, k, bands)
-    grouped = (bb.groupBy("band", "bucket")
-                 .agg(F.array_sort(F.collect_set("id")).alias("ids"))
-                 .filter(F.size("ids") > 1))
+    eligible = (bb.groupBy("band", "bucket")
+                  .agg(F.count(F.lit(1)).alias("_n"))
+                  .filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket))
+                  .select("band", "bucket"))
+    # semi-join keeps only pair-eligible buckets BEFORE the heavy collect —
+    # AQE broadcasts `eligible` when small, shuffled join otherwise
+    grouped = (bb.join(eligible, on=["band", "bucket"], how="left_semi")
+                 .groupBy("band", "bucket")
+                 .agg(F.array_sort(F.collect_set("id")).alias("ids")))
     pairs = grouped.select(F.explode(F.expr(
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids) - i - 1), y -> "
@@ -99,11 +112,25 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str = "text",
                  .distinct())
 
 
+def minhash_bucket_stats(df: DataFrame, id_col: str, text_col: str = "text",
+                         k: int = DEFAULT_K, bands: int = DEFAULT_BANDS,
+                         max_bucket: int = DEFAULT_MAX_BUCKET) -> DataFrame:
+    """Per-bucket sizes with the overflow flag — the 'what was dropped' log
+    for capped candidate generation (no silent truncation)."""
+    bb = with_minhash(df, id_col, text_col, k, bands)
+    return (bb.groupBy("band", "bucket")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .withColumn("overflowed", F.col("n") > max_bucket))
+
+
 def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str,
                   text_col: str = "text", width: int = SHINGLE) -> DataFrame:
     """Jaccard similarity of word-shingle sets for candidate pairs:
-    (id_a, id_b, jaccard rounded 4dp). Joins the (small) candidate set to the
-    corpus twice — broadcast the pairs, not the corpus."""
+    (id_a, id_b, jaccard rounded 4dp). Joins the candidate set to the corpus
+    twice. The pair set is data-dependent (bounded per bucket by the
+    max_bucket cap but still O(corpus) under high near-dup density), so no
+    static broadcast hint — AQE broadcasts it at runtime when it measures
+    small."""
     sh = (df.filter(F.col(text_col).isNotNull())
             .select(F.col(id_col).alias("_jid"),
                     F.array_distinct(shingles(text_col, width)).alias("_sh")))

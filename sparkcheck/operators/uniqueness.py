@@ -40,7 +40,9 @@ def duplicate_keys(df: DataFrame, col: str, salt_buckets: int = 64) -> DataFrame
 
 
 def duplicate_rows(df: DataFrame, col: str, salt_buckets: int = 64) -> DataFrame:
-    """All rows whose `col` value duplicates — flagged via broadcast of the
-    (small) duplicate-key list."""
+    """All rows whose `col` value duplicates. No broadcast hint on the
+    dup-key list — its size is data-dependent (unbounded under mass
+    duplication); AQE converts to a runtime broadcast only when it measures
+    small, else keeps a shuffled join with skew splitting."""
     dups = duplicate_keys(df, col, salt_buckets).select(col)
-    return df.join(F.broadcast(dups), on=col, how="inner")
+    return df.join(dups, on=col, how="inner")

@@ -31,12 +31,12 @@ def _prelude() -> str:
 WITH pages AS ({pages_cte('duckdb', REPLICAS)}),
 f AS (
   SELECT url, rid, lang, text, warc_epoch, html, source, doc_id,
-    NOT regexp_matches(url, '{S.URL_RE}') AS f_schema,
+    COALESCE(NOT regexp_matches(url, '{S.URL_RE}'), TRUE) AS f_schema,
     (text IS NULL) AS f0,
     COALESCE(NOT (length(text) BETWEEN {S.TEXT_LEN_MIN} AND {S.TEXT_LEN_MAX}),
              TRUE) AS f1,
     (lang IS NULL OR lang NOT IN (SELECT code FROM {_iso_values()})) AS f2,
-    NOT (warc_epoch BETWEEN {S.TS_MIN} AND {S.TS_MAX}) AS f3
+    COALESCE(NOT (warc_epoch BETWEEN {S.TS_MIN} AND {S.TS_MAX}), TRUE) AS f3
   FROM pages),
 fr AS (SELECT * FROM f WHERE NOT (f_schema OR f0 OR f1 OR f2 OR f3)),
 dups AS (SELECT url, count(*) AS cnt FROM fr GROUP BY url HAVING count(*) > 1),
@@ -202,9 +202,11 @@ FROM pages WHERE text IS NOT NULL
 GROUP BY 1 HAVING count(*) > 1"""
 
 
-def _minhash_cte(k: int = 8, bands: int = 4) -> str:
+def _minhash_cte(k: int = 8, bands: int = 4, max_bucket: int = 200) -> str:
     """Shared minhash CTEs over pages (DuckDB): shingles → k md5-min sigs →
-    band buckets. Matches operators/dedup.py byte-for-byte (md5 hex min)."""
+    band buckets → pair-eligible buckets (2..max_bucket members, mirroring
+    the engine's bucket-size cap). Matches operators/dedup.py byte-for-byte
+    (md5 hex min)."""
     rows = k // bands
     sigs = ", ".join(
         f"list_min(list_transform(sh, s -> md5('{j}:' || s))) AS s{j}"
@@ -223,7 +225,12 @@ sh AS (
     ELSE [text] END AS sh
   FROM pages WHERE text IS NOT NULL),
 sigs AS (SELECT id, {sigs} FROM sh),
-bb AS ({bucket_rows})"""
+bb_all AS ({bucket_rows}),
+bb AS (
+  SELECT bb_all.* FROM bb_all
+  JOIN (SELECT band, bucket FROM bb_all GROUP BY band, bucket
+        HAVING count(*) BETWEEN 2 AND {max_bucket}) ok
+  USING (band, bucket))"""
 
 
 def dedup_minhash_candidates() -> str:
@@ -390,9 +397,17 @@ FROM f WHERE frame_idx * {every_n} < length(s)"""
 
 def violations_grouped() -> str:
     """B13 grouping oracle: same violation rows as violations(), grouped per
-    (url, key) with insertion-order (single rule per row here) message concat."""
+    (url, key) with messages in INSERTION order — rule declaration order
+    (the engine's rule_idx; seq is 0 for these single-check rules), matching
+    ErrorBag.to_object() / src/index.ts:40-55."""
+    rule_order = ("CASE rule_id WHEN 'text-not-null' THEN 0 "
+                  "WHEN 'text-length' THEN 1 WHEN 'lang-iso' THEN 2 "
+                  "WHEN 'warc-ts-window' THEN 3 "
+                  "WHEN 'extract-byte-identity' THEN 4 "
+                  "WHEN 'unique-url' THEN 5 ELSE -1 END")
     return f"""WITH viol AS ({violations()})
-SELECT url, key, string_agg(message, '|' ORDER BY message) AS messages
+SELECT url, key, string_agg(message, '|' ORDER BY {rule_order}, message)
+  AS messages
 FROM viol WHERE key IS NOT NULL GROUP BY url, key"""
 
 
@@ -406,7 +421,7 @@ WITH f AS (
     (event_type IS NULL OR event_type NOT IN
        ('click','view','purchase','signup','error')) AS f0,
     COALESCE(NOT (value BETWEEN 0 AND 10), TRUE) AS f1,
-    COALESCE(NOT (CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)
+    COALESCE(NOT (TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)
                   BETWEEN 0 AND 100), TRUE) AS f2
   FROM events)
 SELECT event_id,
@@ -418,6 +433,19 @@ SELECT event_id,
   CASE WHEN f_schema THEN 'schema'
        WHEN f0 OR f1 OR f2 THEN 'rules' END AS step
 FROM f"""
+
+
+def nested_props() -> str:
+    """B4 nested-path constraint oracle: recompute the parsed nested field
+    and emit the same dotted-key violation rows."""
+    return r"""
+WITH e AS (
+  SELECT event_id,
+         TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k
+  FROM events)
+SELECT event_id, 'props_s.k' AS key, 'props.k out of range' AS message,
+       CAST(k AS VARCHAR) AS offending_value
+FROM e WHERE NOT COALESCE(k IS NOT NULL AND k BETWEEN 0 AND 50, FALSE)"""
 
 
 def drift_lang_kl(smoothing: float = 1e-9) -> str:

@@ -45,10 +45,18 @@ def validate_stream(spark: SparkSession, input_dir: str, schema_ddl: str,
             return
         validator, df = build_validator_fn(spark, batch_df)
         result = validator.validate(df, persist=False)
-        (result.verdicts.withColumn("batch_id", F.lit(batch_id))
-         .write.mode("append").parquet(os.path.join(out_base, "verdicts")))
-        result.violations.write.mode("append").parquet(
-            os.path.join(out_base, "violations"))
+        # foreachBatch is at-least-once: a crash after the write but before
+        # the checkpoint commit replays the batch. Both sinks carry batch_id
+        # and are written with DYNAMIC partition overwrite on it, so a replay
+        # rewrites its own partition instead of appending duplicates —
+        # idempotent, exactly-once output per batch_id.
+        for name, frame in (("verdicts", result.verdicts),
+                            ("violations", result.violations)):
+            (frame.withColumn("batch_id", F.lit(batch_id))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id")
+             .parquet(os.path.join(out_base, name)))
 
     writer = (stream.writeStream.foreachBatch(process_batch)
               .option("checkpointLocation", checkpoint))

@@ -96,7 +96,8 @@ def frontier_after_unique(pages: DataFrame, iso_dim: DataFrame) -> DataFrame:
     duplicated — the population for stats/histogram/drift."""
     fr = valid_pages(pages, iso_dim)
     dups = duplicate_keys(fr, "url").select("url")
-    return fr.join(F.broadcast(dups), on="url", how="left_anti")
+    # dup-key list size is data-dependent — let AQE decide the join strategy
+    return fr.join(dups, on="url", how="left_anti")
 
 
 def make_baseline(pages: DataFrame, replicas: int,

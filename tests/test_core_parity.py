@@ -303,3 +303,23 @@ def test_override_applied_before_schema(spark):
     df = reg(spark, "not-an-email")
     r = v.validate(df, override={"email": "fixed@example.com"}).single()
     assert r.success  # override replaced the invalid email pre-schema
+
+
+def test_errors_object_df_insertion_order_not_lexicographic(spark):
+    """B13 distributed grouping preserves insertion order (rule_idx, seq) —
+    exactly ErrorBag.to_object() — even when messages sort differently."""
+    from sparkcheck.model import Check, FieldRule
+    v = (build_validator()
+         .input(constraints=[], key_col="id")
+         .rule(FieldRule(id="m", checks=[
+             Check(ok_expr="FALSE", key="f", message="zz emitted first"),
+             Check(ok_expr="FALSE", key="f", message="aa emitted second"),
+         ])))
+    df = spark.createDataFrame([(1,)], "id long")
+    res = v.validate(df, persist=False)
+    got = res.errors_object_df().collect()
+    assert [(r["key"], r["messages"]) for r in got] == [
+        ("f", "zz emitted first|aa emitted second")]
+    bag = res.single().errors
+    assert bag.to_object()["issues"]["f"] == [
+        "zz emitted first", "aa emitted second"]

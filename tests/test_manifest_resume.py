@@ -82,6 +82,42 @@ def test_resume_processes_only_remaining_files(spark, tmp_path):
     assert n_again == 0
 
 
+def test_crash_between_outputs_and_commit_does_not_duplicate(spark, tmp_path):
+    """The manifest append is the commit point: outputs written by a run that
+    died before committing (orphan run_id partitions) are reconciled away on
+    resume, so the re-processed files don't produce duplicate rows."""
+    inp = _make_input(spark, tmp_path)
+    base = str(tmp_path / "crash")
+    full_base = str(tmp_path / "full")
+    run_resumable(spark, inp, _builder_fn, full_base, run_id="oneshot")
+
+    files = sorted(os.path.join(inp, f) for f in os.listdir(inp)
+                   if f.endswith(".parquet"))
+    run_resumable(spark, files[0], _builder_fn, base, run_id="ok1")
+    run_resumable(spark, files[1], _builder_fn, base, run_id="ok2")
+
+    # simulate a crash: run 'zombie' wrote its outputs for file 3 but died
+    # before the manifest commit
+    v, df = _builder_fn(
+        spark, spark.read.parquet(files[2])
+        .withColumn("_input_file", F.input_file_name()))
+    res = v.validate(df, persist=False)
+    for name, frame in (("verdicts", res.verdicts),
+                        ("violations", res.violations)):
+        (frame.withColumn("run_id", F.lit("zombie"))
+         .write.mode("append").partitionBy("run_id")
+         .parquet(os.path.join(base, name)))
+
+    m = CheckpointManifest(base)
+    assert len(m.completed_files()) == 2  # zombie never committed
+
+    # resume: zombie partitions dropped, files 3+4 processed exactly once
+    _, n, _ = run_resumable(spark, inp, _builder_fn, base, run_id="r3")
+    assert n == 2
+    assert m.run_ids(spark) == {"ok1", "ok2", "r3"}
+    assert _collect_outputs(spark, base) == _collect_outputs(spark, full_base)
+
+
 def test_two_full_runs_identical(spark, tmp_path):
     inp = _make_input(spark, tmp_path)
     b1, b2 = str(tmp_path / "a"), str(tmp_path / "b")

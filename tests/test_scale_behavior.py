@@ -52,6 +52,87 @@ def test_dimension_join_is_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_dup_key_join_not_statically_broadcast_under_mass_dup(spark):
+    """100×-scale guard: the duplicate-key list is O(duplicate keys) —
+    unbounded on web data — so the engine must NOT force-broadcast it. With
+    ~30% of rows duplicated and the AQE broadcast threshold below the dup
+    list size, the executed plan must keep a shuffled join (SortMergeJoin /
+    ShuffledHashJoin), not a broadcast."""
+    from sparkcheck import FieldConstraint, build_validator
+
+    n = 30_000
+    # ids 0..8999 appear twice (30% of 60k rows duplicated), rest unique
+    base = spark.range(n).select(
+        F.concat(F.lit("k"), (F.col("id") % (n - 9_000)).cast("string"))
+        .alias("url"))
+    v = (build_validator()
+         .input(constraints=[FieldConstraint("url", "url IS NOT NULL", "req")],
+                key_col="url")
+         .unique("url"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+        res = v.validate(base, persist=False)
+        res.verdicts.collect()  # finalize the adaptive plan
+        plan = res.verdicts._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        res.unpersist()
+    assert "BroadcastHashJoin" not in plan, plan[:2000]
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+    # and the verdicts are still right: 2×9000 duplicated rows fail
+    n_fail = res.verdicts.filter(~F.col("success")).count()
+    assert n_fail == 18_000
+
+
+def test_dup_key_join_aqe_broadcasts_when_small(spark):
+    """The same plan with a tiny dup list: AQE's runtime size check converts
+    the join to a broadcast — the threshold gate works both ways."""
+    from sparkcheck import FieldConstraint, build_validator
+
+    base = spark.range(10_000).select(
+        F.when(F.col("id") < 4, F.lit("dup"))
+         .otherwise(F.col("id").cast("string")).alias("url"))
+    v = (build_validator()
+         .input(constraints=[FieldConstraint("url", "url IS NOT NULL", "req")],
+                key_col="url")
+         .unique("url"))
+    res = v.validate(base, persist=False)
+    res.verdicts.collect()
+    plan = res.verdicts._jdf.queryExecution().executedPlan().toString()
+    res.unpersist()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_minhash_bucket_cap_bounds_mass_duplication(spark):
+    """A mass-duplicated text (one page duplicated 500×) must NOT explode
+    candidate generation quadratically: its buckets overflow the cap and are
+    skipped (surfaced via minhash_bucket_stats), while exact_duplicates
+    catches the mass-dup group at O(n)."""
+    from sparkcheck.operators import dedup
+
+    mass = spark.range(500).select(
+        F.col("id").alias("rid"),
+        F.lit("the same spam page text repeated across many mirror hosts "
+              "with identical words everywhere").alias("text"))
+    near = spark.createDataFrame(
+        [(1000, "alpha beta gamma delta epsilon zeta eta theta"),
+         (1001, "alpha beta gamma delta epsilon zeta eta iota")],
+        "rid long, text string")
+    df = mass.unionByName(near)
+
+    cand = dedup.minhash_candidates(df, id_col="rid", max_bucket=50).collect()
+    # bounded: only the small near-dup bucket pairs, not 500×499/2 spam pairs
+    assert {(r["id_a"], r["id_b"]) for r in cand} == {(1000, 1001)}
+
+    stats = dedup.minhash_bucket_stats(df, id_col="rid", max_bucket=50)
+    overflow = stats.filter(F.col("overflowed")).collect()
+    assert overflow and all(r["n"] == 500 for r in overflow)
+
+    exact = dedup.exact_duplicates(df, id_col="rid").collect()
+    assert len(exact) == 1 and exact[0]["n_docs"] == 500
+
+
 def test_sql_rule_path_has_no_python_udf(spark):
     pages = load_pages(spark, SF_SMALL, replicas=2)
     v, deps = S.pages_validator(spark, with_stats=False, with_drift=False,

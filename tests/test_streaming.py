@@ -47,6 +47,13 @@ def test_stream_validate_available_now(spark, tmp_path):
     verd = spark.read.parquet(os.path.join(out, "verdicts"))
     assert verd.count() == 500
 
+    # violations carry batch_id (at-least-once replay dedup key; both sinks
+    # use dynamic partition overwrite on it → idempotent per batch)
+    viol = spark.read.parquet(os.path.join(out, "violations"))
+    assert "batch_id" in viol.columns
+    assert {r["batch_id"] for r in viol.select("batch_id").distinct()
+            .collect()} <= {0, 1}
+
     # equals the one-shot batch result
     v, df = _builder_fn(spark, src)
     batch = v.validate(df, persist=False)
