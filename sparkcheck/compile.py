@@ -11,6 +11,16 @@ observationally equivalent to the reference's "remaining rules never run".
 
 Everything stays in Spark SQL expressions (whole-stage codegen; no per-row
 Python, per BASELINE.json input_hint).
+
+ANSI-mode totality contract: because every rule's expression is evaluated for
+every row (fail-fast is verdict SELECTION, not execution gating), a rule
+expression that can THROW under Spark's ANSI mode (CAST of a non-numeric
+string, element_at out of bounds, division by zero) would abort the whole job
+for rows the reference would never have evaluated. Rule expressions must be
+total: use try_cast / try_element_at / try_divide (and NULL results count as
+failure via check_fired's coalesce). This is the one observable difference
+from the reference's "remaining rules never run" — asserted by
+tests/test_extraction_paths.py and the events suite (try_cast on props).
 """
 
 from __future__ import annotations

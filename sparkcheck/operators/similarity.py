@@ -134,6 +134,18 @@ def table_seed(seed: int, t: int) -> int:
     return seed + 101 * t
 
 
+def auto_bits(n_rows: int, target_bucket_size: int = 128,
+              lo: int = 4, hi: int = 30) -> int:
+    """Size the signature width to the corpus instead of a fixed demo value:
+    2^bits ≈ n_rows / target_bucket_size keeps expected bucket occupancy
+    (and therefore the within-bucket O(b²) pairing cost) constant as N
+    grows — at 10^9 rows this yields 23 bits; at 10^4, 7."""
+    import math
+    if n_rows <= target_bucket_size:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n_rows / target_bucket_size))))
+
+
 def lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              dim: int = 64, bits: int = 8, seed: int = 7, tables: int = 1,
@@ -176,13 +188,16 @@ def lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
 
 def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id", vec_col: str = "embedding",
-                        dim: int = 64, bits: int = 8, seed: int = 7,
+                        dim: int = 64, bits: int | None = 8, seed: int = 7,
                         use_udf: bool = False) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, score ≥ threshold)
     via LSH bucketing + within-bucket scoring (the all-pairs version of
-    lsh_topk). Within-bucket pairing is quadratic per bucket — size `bits`
-    so 2^bits ≫ N/acceptable_bucket_size at the target scale (bucket count
-    scales with N, unlike a fixed demo value)."""
+    lsh_topk). Within-bucket pairing is quadratic per bucket — bits=None
+    auto-sizes the bucket count to the corpus (auto_bits: 2^bits ≈
+    N/target_bucket_size, one count() job) so occupancy stays constant as N
+    grows instead of being a fixed demo value."""
+    if bits is None:
+        bits = auto_bits(emb.count())
     bucket = (lsh_bucket_udf(dim, bits, seed)(F.col(vec_col)) if use_udf
               else lsh_bucket_expr(vec_col, dim, bits, seed))
     with_b = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),

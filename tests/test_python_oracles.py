@@ -195,3 +195,20 @@ def test_hll_distinct_within_tolerance(spark):
                                    exact_distinct=True).collect()}
     for c in ["doc_id", "lang"]:
         assert abs(approx[c] - exact[c]) <= max(3, 0.1 * exact[c]), c
+
+
+def test_auto_bits_scales_with_corpus():
+    from sparkcheck.operators.similarity import auto_bits
+    assert auto_bits(100) == 4              # tiny corpus → floor
+    assert auto_bits(10_000) == 7           # ceil(log2(10000/128))
+    assert auto_bits(10**9) == 23           # constant occupancy at scale
+    assert auto_bits(10**12) == 30          # hi cap (2^30 buckets)
+
+
+def test_embedding_near_dups_auto_bits(spark):
+    emb = _emb(spark)
+    # bits=None auto-sizes (500 rows → 4 bits); equals the explicit setting
+    auto = similarity.embedding_near_dups(emb, threshold=0.4, bits=None)
+    fixed = similarity.embedding_near_dups(emb, threshold=0.4, bits=4)
+    assert sorted(map(tuple, auto.collect())) == \
+        sorted(map(tuple, fixed.collect()))
