@@ -135,6 +135,14 @@ def q_fingerprint(spark, sf_dir):
     return textstats.fingerprint(_docs(spark, sf_dir))
 
 
+def q_token_count_bpe(spark, sf_dir):
+    return textstats.token_count_bpe(_docs(spark, sf_dir))
+
+
+def q_fingerprint_rolling(spark, sf_dir):
+    return textstats.fingerprint_rolling(_docs(spark, sf_dir))
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_pages(spark, sf_dir), id_col="rid")
 
@@ -274,6 +282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "token_count_bpe": q_token_count_bpe,
+        "fingerprint_rolling": q_fingerprint_rolling,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_candidates": q_dedup_minhash_candidates,
         "dedup_jaccard": q_dedup_jaccard,
@@ -309,6 +319,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": oracle.quality_score(),
         "lang_id": oracle.lang_id(),
         "fingerprint": oracle.fingerprint(),
+        "token_count_bpe": oracle.token_count_bpe(),
+        "fingerprint_rolling": oracle.fingerprint_rolling(),
         "dedup_exact": oracle.dedup_exact(),
         "dedup_minhash_candidates": oracle.dedup_minhash_candidates(),
         "dedup_jaccard": oracle.dedup_jaccard(),

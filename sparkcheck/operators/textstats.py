@@ -41,6 +41,43 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", n.alias("n_tokens"))
 
 
+BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"  # letter runs | digit runs | punct
+
+
+def token_count_bpe(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_bpe_tokens) — BPE-ish regex token count: letter runs,
+    digit runs and individual punctuation marks count separately (the
+    pre-tokenization split BPE vocabularies apply before merges), giving a
+    closer proxy for LLM token cost than whitespace counting. Pure codegen
+    (regexp_count); pattern restricted to classes that match identically in
+    Java regex and DuckDB's RE2."""
+    n = F.when(F.col(text_col).isNull(), F.lit(0)) \
+         .otherwise(F.regexp_count(F.col(text_col), F.lit(BPE_PAT)))
+    return df.select("doc_id", n.cast("int").alias("n_bpe_tokens"))
+
+
+ROLL_B = 131                 # polynomial base
+ROLL_M = (1 << 31) - 1       # Mersenne prime modulus — products stay < 2^39,
+                             # safe under ANSI bigint (no overflow throw)
+
+
+def fingerprint_rolling(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, roll_fp) — ORDER-SENSITIVE document fingerprint: polynomial
+    rolling hash over the token stream, h = fold((acc·B + md5_31(tok)) mod M).
+    Complements `fingerprint` (order-insensitive set hash): reordered or
+    trimmed documents get different roll_fp but may share fp. Sequential
+    left fold → DuckDB list_reduce reproduces it exactly."""
+    toks = F.split(F.col(text_col), " ")
+    th = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
+                   .cast("bigint") % ROLL_M)
+    fp = F.aggregate(th, F.lit(0).cast("bigint"),
+                     lambda acc, h: (acc * ROLL_B + h) % ROLL_M)
+    return (df.filter(F.col(text_col).isNotNull())
+              .select("doc_id", fp.alias("roll_fp")))
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens, avg_token_len, stopword_ratio, quality) — a
     length/stopword composite in [0,1], rounded to 4dp. Deterministic,

@@ -195,6 +195,25 @@ def fingerprint() -> str:
             "FROM documents WHERE text IS NOT NULL")
 
 
+def token_count_bpe() -> str:
+    """BPE-ish pre-tokenization count (same pattern, Java-regex/RE2-safe)."""
+    from .operators.textstats import BPE_PAT
+    return (f"SELECT doc_id, CAST(CASE WHEN text IS NULL THEN 0 ELSE "
+            f"len(regexp_extract_all(text, '{BPE_PAT}')) END AS INT) "
+            f"AS n_bpe_tokens FROM documents")
+
+
+def fingerprint_rolling() -> str:
+    """Polynomial rolling hash (operators/textstats.fingerprint_rolling):
+    list_reduce with a prepended 0 = Spark's aggregate(0, fold) exactly."""
+    from .operators.textstats import ROLL_B, ROLL_M
+    h = f"(('0x' || substr(md5(t), 1, 8))::BIGINT % {ROLL_M})"
+    return (f"SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(string_split(text, ' '), t -> {h})), "
+            f"(a, b) -> (a * {ROLL_B} + b) % {ROLL_M}) AS roll_fp "
+            f"FROM documents WHERE text IS NOT NULL")
+
+
 def dedup_exact() -> str:
     return f"""WITH pages AS ({pages_cte('duckdb', REPLICAS)})
 SELECT md5(text) AS text_hash, count(*) AS n_docs, min(rid) AS min_id

@@ -212,3 +212,17 @@ def test_embedding_near_dups_auto_bits(spark):
     fixed = similarity.embedding_near_dups(emb, threshold=0.4, bits=4)
     assert sorted(map(tuple, auto.collect())) == \
         sorted(map(tuple, fixed.collect()))
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    """roll_fp distinguishes reordered token streams; the set-hash fp does
+    not — together they split exact-dup vs bag-of-words-dup."""
+    from sparkcheck.operators.textstats import fingerprint, fingerprint_rolling
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"),
+         (3, "alpha beta gamma")], "doc_id long, text string")
+    roll = {r["doc_id"]: r["roll_fp"]
+            for r in fingerprint_rolling(df).collect()}
+    setfp = {r["doc_id"]: r["fp"] for r in fingerprint(df).collect()}
+    assert roll[1] == roll[3] != roll[2]
+    assert setfp[1] == setfp[2] == setfp[3]
