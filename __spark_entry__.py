@@ -108,6 +108,28 @@ def q_drift_lang_kl(spark, sf_dir):
     return spark.createDataFrame([(kl4,)], "kl double")
 
 
+def q_drift_lang_psi(spark, sf_dir):
+    """Population Stability Index drift (symmetric companion to KL)."""
+    from sparkcheck.operators.drift import psi
+    pages = _pages(spark, sf_dir)
+    dim = iso_lang_dim(spark)
+    fr = S.frontier_after_unique(pages, dim)
+    baseline = S.make_baseline(pages, REPLICAS, dim)
+    v = psi(fr, "lang", F.coalesce(F.col("lang"), F.lit("∅")), baseline)
+    import math
+    v4 = math.floor(v * 10000 + 0.5) / 10000.0
+    return spark.createDataFrame([(v4,)], "psi double")
+
+
+def q_numeric_quantiles(spark, sf_dir):
+    """Exact interpolated per-column quantiles (events.value) — the
+    numeric-stats companion to column_stats; approx_percentile is the
+    sketch-based drop-in at 10^12 rows."""
+    from sparkcheck.operators.stats import numeric_quantiles
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return numeric_quantiles(events, ["value"])
+
+
 # --- training-data pipeline operators ---------------------------------------
 
 
@@ -278,6 +300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_histogram": q_length_histogram,
         "extraction_identity": q_extraction_identity,
         "drift_lang_kl": q_drift_lang_kl,
+        "drift_lang_psi": q_drift_lang_psi,
+        "numeric_quantiles": q_numeric_quantiles,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -315,6 +339,8 @@ def oracle_sql() -> dict[str, str]:
         "length_histogram": oracle.length_histogram(),
         "extraction_identity": oracle.extraction_identity(),
         "drift_lang_kl": oracle.drift_lang_kl(),
+        "drift_lang_psi": oracle.drift_lang_psi(),
+        "numeric_quantiles": oracle.numeric_quantiles(),
         "token_count": oracle.token_count(),
         "quality_score": oracle.quality_score(),
         "lang_id": oracle.lang_id(),

@@ -61,3 +61,22 @@ def kl_divergence(df: DataFrame, col: str, bucket_expr: Column,
     term = (F.col("p") + s) * F.log((F.col("p") + s) / (F.col("q") + s))
     row = joined.agg(F.sum(term).alias("kl")).collect()[0]
     return float(row["kl"]) if row["kl"] is not None else 0.0
+
+
+def psi(df: DataFrame, col: str, bucket_expr: Column,
+        baseline: DataFrame, smoothing: float = 1e-6) -> float:
+    """Population Stability Index vs the baseline snapshot —
+    Σ (p−q)·ln(p/q), the symmetric drift metric scorecard monitoring uses
+    (rule of thumb: <0.1 stable, 0.1–0.25 moderate shift, >0.25 major).
+    Same O(buckets) plan shape as kl_divergence."""
+    cur = histogram(df, bucket_expr).withColumnRenamed("p", "p_cur")
+    base = (baseline.filter(F.col("col") == col)
+                    .select("bucket", F.col("p").alias("p_base")))
+    joined = cur.join(base, on="bucket", how="full_outer").select(
+        F.coalesce("p_cur", F.lit(0.0)).alias("p"),
+        F.coalesce("p_base", F.lit(0.0)).alias("q"))
+    s = F.lit(smoothing)
+    term = ((F.col("p") + s) - (F.col("q") + s)) \
+        * F.log((F.col("p") + s) / (F.col("q") + s))
+    row = joined.agg(F.sum(term).alias("psi")).collect()[0]
+    return float(row["psi"]) if row["psi"] is not None else 0.0

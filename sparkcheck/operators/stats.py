@@ -77,6 +77,28 @@ def merge_sketch_estimates(sketches: DataFrame) -> DataFrame:
                  .alias("n_distinct")))
 
 
+def numeric_quantiles(df: DataFrame, cols: list[str],
+                      probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)) \
+        -> DataFrame:
+    """Exact interpolated quantiles per numeric column, long format:
+    (col, p, q). Spark's `percentile` and DuckDB's `quantile_cont` share the
+    same linear-interpolation definition (value at rank (n-1)·p), so the
+    oracle matches at 4dp. For sketch-based approximation at 10^12 rows use
+    `approx_percentile` instead — same plan shape, mergeable partials —
+    traded here for cross-engine exactness."""
+    probs_sql = ", ".join(str(p) for p in probs)
+    aggs = [F.expr(f"percentile({c}, array({probs_sql}))").alias(f"q_{c}")
+            for c in cols]
+    wide = df.agg(*aggs)
+    rows = []
+    for c in cols:
+        for i, p in enumerate(probs):
+            rows.append(f"'{c}', cast({p} as double), "
+                        f"floor(`q_{c}`[{i}] * 10000 + 0.5) / 10000.0")
+    return wide.selectExpr(
+        f"stack({len(cols) * len(probs)}, {', '.join(rows)}) as (col, p, q)")
+
+
 def partition_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     """Per-partition row counts + null counts keyed by spark_partition_id()
     (per-partition verdict/metrics lineage for the checkpoint manifest)."""

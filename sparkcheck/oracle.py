@@ -481,3 +481,31 @@ j AS (SELECT COALESCE(curp.p, 0.0) AS p, COALESCE(basep.q, 0.0) AS q
       FROM curp FULL OUTER JOIN basep ON curp.b = basep.b)
 SELECT FLOOR(SUM((p + {smoothing}) * LN((p + {smoothing}) / (q + {smoothing}))) * 10000 + 0.5) / 10000.0 AS kl
 FROM j"""
+
+
+def drift_lang_psi(smoothing: float = 1e-6) -> str:
+    """PSI drift oracle — same histogram CTEs as KL, symmetric formula."""
+    return f"""{_prelude()},
+base_rows AS (SELECT COALESCE(lang, '∅') AS b FROM fr WHERE rid % {REPLICAS} = 0),
+base AS (SELECT b, count(*) AS n FROM base_rows GROUP BY b),
+basep AS (SELECT b, n * 1.0 / (SELECT SUM(n) FROM base) AS q FROM base),
+cur_rows AS (SELECT COALESCE(lang, '∅') AS b FROM frontier),
+cur AS (SELECT b, count(*) AS n FROM cur_rows GROUP BY b),
+curp AS (SELECT b, n * 1.0 / (SELECT SUM(n) FROM cur) AS p FROM cur),
+j AS (SELECT COALESCE(curp.p, 0.0) AS p, COALESCE(basep.q, 0.0) AS q
+      FROM curp FULL OUTER JOIN basep ON curp.b = basep.b)
+SELECT FLOOR(SUM(((p + {smoothing}) - (q + {smoothing}))
+             * LN((p + {smoothing}) / (q + {smoothing}))) * 10000 + 0.5)
+       / 10000.0 AS psi
+FROM j"""
+
+
+def numeric_quantiles(probs=(0.25, 0.5, 0.75, 0.95)) -> str:
+    """Exact interpolated quantiles: DuckDB quantile_cont == Spark percentile
+    (both value-at-rank (n-1)·p with linear interpolation), 4dp-floored."""
+    parts = [
+        f"SELECT 'value' AS col, CAST({p} AS DOUBLE) AS p, "
+        f"FLOOR(quantile_cont(value, {p}) * 10000 + 0.5) / 10000.0 AS q "
+        f"FROM events"
+        for p in probs]
+    return " UNION ALL ".join(parts)
