@@ -93,8 +93,11 @@ def numeric_quantiles(df: DataFrame, cols: list[str],
     rows = []
     for c in cols:
         for i, p in enumerate(probs):
+            # NB: in SQL text `10000.0` parses as DECIMAL (unlike the python
+            # API where a float literal is double) — divide by a cast double
             rows.append(f"'{c}', cast({p} as double), "
-                        f"floor(`q_{c}`[{i}] * 10000 + 0.5) / 10000.0")
+                        f"floor(`q_{c}`[{i}] * 10000 + 0.5) "
+                        f"/ cast(10000 as double)")
     return wide.selectExpr(
         f"stack({len(cols) * len(probs)}, {', '.join(rows)}) as (col, p, q)")
 
