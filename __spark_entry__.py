@@ -169,6 +169,12 @@ def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_pages(spark, sf_dir), id_col="rid")
 
 
+def q_dedup_drop_list(spark, sf_dir):
+    """Operational exact dedup: the rows a dedup write would delete,
+    each with its kept representative."""
+    return dedup.exact_drop_list(_pages(spark, sf_dir), id_col="rid")
+
+
 def q_dedup_minhash_candidates(spark, sf_dir):
     return dedup.minhash_candidates(_pages(spark, sf_dir), id_col="rid")
 
@@ -309,6 +315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": q_token_count_bpe,
         "fingerprint_rolling": q_fingerprint_rolling,
         "dedup_exact": q_dedup_exact,
+        "dedup_drop_list": q_dedup_drop_list,
         "dedup_minhash_candidates": q_dedup_minhash_candidates,
         "dedup_jaccard": q_dedup_jaccard,
         "cosine_scores": q_cosine_scores,
@@ -348,6 +355,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count_bpe": oracle.token_count_bpe(),
         "fingerprint_rolling": oracle.fingerprint_rolling(),
         "dedup_exact": oracle.dedup_exact(),
+        "dedup_drop_list": oracle.dedup_drop_list(),
         "dedup_minhash_candidates": oracle.dedup_minhash_candidates(),
         "dedup_jaccard": oracle.dedup_jaccard(),
         "cosine_scores": oracle.cosine_scores(),

@@ -35,6 +35,23 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") \
               .filter(F.col("n_docs") > 1))
 
 
+def exact_drop_list(df: DataFrame, id_col: str, text_col: str = "text") \
+        -> DataFrame:
+    """The operational half of exact dedup: (id, keep_id) for every row that
+    should be DELETED — all members of a duplicate-text group except the
+    keeper (min id). One agg + one equi-join on the text hash (both sides
+    hash-partitioned by it; AQE broadcasts the dup-group side when small).
+    `df.join(exact_drop_list(df, id), id, 'left_anti')` is the dedup write."""
+    groups = exact_duplicates(df, id_col, text_col) \
+        .select("text_hash", F.col("min_id").alias("keep_id"))
+    rows = (df.filter(F.col(text_col).isNotNull())
+              .select(F.col(id_col).alias("id"),
+                      F.md5(F.col(text_col)).alias("text_hash")))
+    return (rows.join(groups, on="text_hash")
+                .filter(F.col("id") != F.col("keep_id"))
+                .select("id", "keep_id"))
+
+
 def shingles(text_col: str, width: int = SHINGLE):
     """Word w-shingles via higher-order functions (no explode)."""
     words = F.split(F.col(text_col), " ")

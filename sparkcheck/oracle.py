@@ -221,6 +221,17 @@ FROM pages WHERE text IS NOT NULL
 GROUP BY 1 HAVING count(*) > 1"""
 
 
+def dedup_drop_list() -> str:
+    """Rows to delete under exact dedup (keeper = min rid per text group)."""
+    return f"""WITH pages AS ({pages_cte('duckdb', REPLICAS)}),
+g AS (SELECT md5(text) AS text_hash, min(rid) AS keep_id
+      FROM pages WHERE text IS NOT NULL
+      GROUP BY 1 HAVING count(*) > 1)
+SELECT p.rid AS id, g.keep_id
+FROM pages p JOIN g ON md5(p.text) = g.text_hash
+WHERE p.text IS NOT NULL AND p.rid <> g.keep_id"""
+
+
 def _minhash_cte(k: int = 8, bands: int = 4, max_bucket: int = 200) -> str:
     """Shared minhash CTEs over pages (DuckDB): shingles → k md5-min sigs →
     band buckets → pair-eligible buckets (2..max_bucket members, mirroring
