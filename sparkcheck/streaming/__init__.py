@@ -11,6 +11,13 @@ natural Spark-native increment on top:
   append verdicts/violations parquet. Spark's streaming checkpoint tracks
   consumed files; trigger=availableNow drains the backlog and stops, making
   it usable as an incremental batch scheduler too.
+- `windowed_failure_counts`: native streaming windowed aggregation — per
+  event-time window (watermarked, late rows beyond the watermark dropped by
+  Spark's state store) count rows failing a compiled predicate set.
+- `stateful_unique_stream`: custom stateful operator via
+  applyInPandasWithState — cross-micro-batch uniqueness on a key column
+  (state = first-seen count per key, Arrow-batched per group), something
+  per-batch foreachBatch validation cannot express.
 """
 
 from __future__ import annotations
@@ -22,7 +29,8 @@ from pyspark.sql import functions as F
 
 from ..manifest import CheckpointManifest, run_resumable  # noqa: F401
 
-__all__ = ["run_resumable", "CheckpointManifest", "validate_stream"]
+__all__ = ["run_resumable", "CheckpointManifest", "validate_stream",
+           "windowed_failure_counts", "stateful_unique_stream"]
 
 
 def validate_stream(spark: SparkSession, input_dir: str, schema_ddl: str,
@@ -63,3 +71,58 @@ def validate_stream(spark: SparkSession, input_dir: str, schema_ddl: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_failure_counts(stream, fail_expr: str, ts_col: str,
+                            window: str = "1 hour",
+                            watermark: str = "2 hours"):
+    """Streaming windowed failure counts with late-data handling: per
+    event-time window, total rows and rows failing `fail_expr` (a boolean SQL
+    expression over the stream's columns — e.g. a disjunction of compiled
+    rule-failure predicates). The watermark bounds the state store: windows
+    older than max(event_time) − watermark are finalized and late rows beyond
+    it are dropped — the standard Spark treatment of out-of-order web-crawl
+    timestamps. Returns a streaming DataFrame
+    (window struct, n_rows, n_failed) for any sink/outputMode."""
+    w = F.window(F.col(ts_col), window)
+    return (stream.withWatermark(ts_col, watermark)
+            .groupBy(w.alias("window"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.expr(fail_expr).cast("long")).alias("n_failed")))
+
+
+UNIQUE_STATE_SCHEMA = "cnt bigint"
+UNIQUE_OUT_SCHEMA = ("key string, batch_seen bigint, total_seen bigint, "
+                     "is_duplicate boolean")
+
+
+def stateful_unique_stream(stream, key_col: str,
+                           timeout: str = "NoTimeout"):
+    """Cross-micro-batch uniqueness — a custom stateful operator
+    (applyInPandasWithState): per key, state carries the running count of
+    rows seen across ALL previous micro-batches; a key re-appearing in a
+    later batch is flagged is_duplicate even though no single batch saw it
+    twice. foreachBatch validation is per-batch-scoped and cannot express
+    this. Arrow-batched per group, state O(distinct keys) in the state store
+    (RocksDB on a real cluster). Emits one row per (key, batch) occurrence
+    set."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    def update(key, pdfs, state: GroupState):
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        prev = state.get[0] if state.exists else 0
+        total = prev + n
+        state.update((total,))
+        yield pd.DataFrame({
+            "key": [key[0]], "batch_seen": [n], "total_seen": [total],
+            "is_duplicate": [total > 1]})
+
+    # applyInPandasWithState requires a real grouping COLUMN (an alias-only
+    # grouping expression fails analysis) — project it first
+    keyed = stream.withColumn("key", F.col(key_col).cast("string"))
+    return (keyed.groupBy("key")
+            .applyInPandasWithState(update, UNIQUE_OUT_SCHEMA,
+                                    UNIQUE_STATE_SCHEMA, "update", timeout))

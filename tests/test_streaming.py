@@ -62,3 +62,79 @@ def test_stream_validate_available_now(spark, tmp_path):
     want = sorted((r["doc_id"], r["success"], r["rule_id"])
                   for r in batch.verdicts.collect())
     assert got == want
+
+
+def test_windowed_failure_counts_with_watermark(spark, tmp_path):
+    """Streaming event-time windowed aggregation equals the batch groupBy
+    over the same data (availableNow drain, complete mode)."""
+    from sparkcheck.streaming import windowed_failure_counts
+    src = (spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+           .select("doc_id", "lang",
+                   (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                    + F.make_interval(mins=(F.col("doc_id") % 300)
+                                      .cast("int"))).alias("ts")))
+    in_dir = str(tmp_path / "in")
+    src.repartition(2).write.parquet(in_dir)
+
+    stream = (spark.readStream
+              .schema("doc_id bigint, lang string, ts timestamp")
+              .parquet(in_dir))
+    agg = windowed_failure_counts(
+        stream, "lang NOT IN ('en','es','de','fr')", "ts", window="1 hour",
+        watermark="2 hours")
+    q = (agg.writeStream.format("memory").queryName("winfail")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r["window"]["start"].isoformat(), r["n_rows"], r["n_failed"])
+           for r in spark.sql("SELECT * FROM winfail").collect()}
+    want = {(r["w"]["start"].isoformat(), r["n_rows"], r["n_failed"])
+            for r in (src.groupBy(F.window("ts", "1 hour").alias("w"))
+                      .agg(F.count(F.lit(1)).alias("n_rows"),
+                           F.sum(F.expr("lang NOT IN ('en','es','de','fr')")
+                                 .cast("long")).alias("n_failed"))
+                      .collect())}
+    assert got == want and len(got) == 5  # 300 min of events → 5 windows
+
+
+def test_stateful_unique_across_micro_batches(spark, tmp_path):
+    """applyInPandasWithState: a key re-appearing in a LATER micro-batch is
+    flagged duplicate from cross-batch state — inexpressible per-batch."""
+    from sparkcheck.streaming import stateful_unique_stream
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        stream = (spark.readStream.schema("url string, rid bigint")
+                  .parquet(in_dir))
+        out = stateful_unique_stream(stream, "url")
+        # memory sink can't recover from a checkpoint — foreachBatch parquet
+        # append is the recoverable sink (state lives in the checkpoint)
+        q = (out.writeStream.foreachBatch(
+                lambda b, _bid: b.write.mode("append").parquet(out_dir))
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    spark.createDataFrame([("https://a", 1), ("https://b", 2)],
+                          "url string, rid bigint") \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+    run_once()
+    first = {(r["key"], r["total_seen"], r["is_duplicate"])
+             for r in spark.read.parquet(out_dir).collect()}
+    assert first == {("https://a", 1, False), ("https://b", 1, False)}
+
+    # later batch re-delivers key 'a' → duplicate via state persisted in the
+    # streaming checkpoint across separate availableNow runs
+    spark.createDataFrame([("https://a", 3), ("https://c", 4)],
+                          "url string, rid bigint") \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+    run_once()
+    rows = {(r["key"], r["total_seen"], r["is_duplicate"])
+            for r in spark.read.parquet(out_dir).collect()}
+    assert ("https://a", 2, True) in rows     # cross-batch duplicate
+    assert ("https://c", 1, False) in rows
+    assert ("https://b", 1, False) in rows    # untouched key not re-emitted twice
+    assert len(rows) == 4
