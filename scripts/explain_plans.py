@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Plan-quality evidence: capture the physical plans of the flagship
+operators at sf0.001 and write BENCH/PLANS.md summarizing the properties
+that matter at 100 TB — scan pushdown/pruning, whole-stage codegen spans,
+exchange (shuffle) counts, join strategies, and absence of Python in the
+pure-SQL paths. Run: python scripts/explain_plans.py
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _distinct_nodes(plan: str, pattern: str) -> int:
+    """Count DISTINCT matching nodes: the printed AQE tree repeats cached /
+    initial subplans, so raw line counts over-report — normalize away tree
+    glyphs and plan_id annotations and count unique signatures."""
+    sigs = set()
+    for line in plan.splitlines():
+        if re.search(pattern, line):
+            sig = re.sub(r"\[plan_id=\d+\]", "", line)
+            sigs.add(re.sub(r"^[\s:+\-*()\d]*", "", sig).strip())
+    return len(sigs)
+
+
+def summarize(name: str, plan: str, notes: str) -> str:
+    counts = {
+        "shuffle exchanges": _distinct_nodes(plan, r"Exchange hashpartitioning"),
+        "broadcast exchanges": _distinct_nodes(plan, r"BroadcastExchange"),
+        "SortMergeJoin": _distinct_nodes(plan, r"SortMergeJoin"),
+        "BroadcastHashJoin": _distinct_nodes(plan, r"BroadcastHashJoin"),
+        "WholeStageCodegen spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
+        "row-wise Python nodes (BatchEvalPython)": _distinct_nodes(
+            plan, r"BatchEvalPython"),
+        "Arrow-vectorized Python nodes": _distinct_nodes(
+            plan, r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas"),
+    }
+    lines = [f"### {name}", ""]
+    lines += [f"- {k}: **{v}**" for k, v in counts.items() if v]
+    if not any(counts.values()):
+        lines.append("- single codegen stage, no exchanges")
+    lines.append(f"- {notes}")
+    lines.append("")
+    return "\n".join(lines)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from sparkcheck import suite as S
+    from sparkcheck.operators import dedup, similarity
+    from sparkcheck.session import get_spark
+    from sparkcheck.sources.pages import load_pages
+
+    spark = get_spark(cores=8, app="sparkcheck-plans")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out = ["# BENCH/PLANS.md — physical-plan evidence (sf0.001, local[8])",
+           "",
+           "Counts extracted from `executedPlan` after execution (AQE final "
+           "plans). The properties asserted here are also pinned by "
+           "`tests/test_scale_behavior.py`.", ""]
+
+    # flagship suite
+    _, res = S.run_suite(spark, SF, replicas=4,
+                         with_stats=False, with_drift=False)
+    res.verdicts.collect()
+    out.append(summarize(
+        "full validation suite → verdicts", plan_of(res.verdicts),
+        "one persist point feeds the dup aggregate and the verdict "
+        "projection; ISO dim joins broadcast; the dup-key join strategy is "
+        "AQE-decided — the SortMergeJoin counted above is its INITIAL plan "
+        "(no static broadcast hint), converted to a runtime BroadcastHashJoin "
+        "in the final plan at this data size, kept shuffled under mass "
+        "duplication; extraction is a single Arrow mapInPandas"))
+    res.unpersist()
+
+    # scan pushdown
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .filter(F.col("lang") == "en").select("doc_id", "lang")
+    docs.collect()
+    p = plan_of(docs)
+    pushed = "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in p
+    pruned = "text" not in p.split("ReadSchema")[1][:200] if "ReadSchema" in p else False
+    out.append(summarize(
+        "filtered projection over parquet", p,
+        f"PushedFilters reach the scan: **{pushed}**; untouched text column "
+        f"pruned from ReadSchema: **{pruned}**"))
+
+    # dedup candidates
+    pages = load_pages(spark, SF, replicas=4)
+    cand = dedup.minhash_candidates(pages, id_col="rid")
+    cand.collect()
+    out.append(summarize(
+        "MinHash LSH candidates (bucket-capped)", plan_of(cand),
+        "signatures via higher-order array functions (no explode until the "
+        "band rows); bucket sizes counted before the collect_set — the "
+        "count agg is map-side-combining"))
+
+    # ANN
+    topk = similarity.lsh_topk(
+        spark.read.parquet(f"{SF}/embeddings.parquet"), [0, 1], k=5, tables=2)
+    topk.collect()
+    out.append(summarize(
+        "LSH ANN top-k (SQL-expr buckets, 2 tables)", plan_of(topk),
+        "bucket signature entirely in codegen (no Python); query side "
+        "broadcast (bounded by the user's query list)"))
+
+    with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print("wrote BENCH/PLANS.md")
+
+
+if __name__ == "__main__":
+    main()
