@@ -16,8 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.extraction import extraction_check
-from .model import CustomPandasRule, FieldConstraint, ValidatorBuilder, \
-    build_validator
+from .model import CustomPandasRule, FieldConstraint, build_validator
 from .operators.drift import baseline_snapshot
 from .operators.uniqueness import duplicate_keys
 from .sources.dims import iso_lang_dim

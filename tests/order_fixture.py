@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from sparkcheck import build_validator, FieldConstraint
 from sparkcheck.errors import ErrorBag
-from sparkcheck.model import ArrayAllRule, Check, CustomPandasRule, FieldRule, \
+from sparkcheck.model import ArrayAllRule, Check, FieldRule, \
     ReferentialRule
 
 RUN_TS = 1704067200  # pinned 'now'

@@ -7,7 +7,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from sparkcheck import FieldConstraint, build_validator
+from sparkcheck import build_validator
 from sparkcheck.errors import ErrorBag
 
 from .conftest import SF_SMALL

@@ -9,7 +9,6 @@ import hashlib
 import pytest
 
 from sparkcheck import FieldConstraint, build_validator
-from sparkcheck.model import Check, FieldRule
 
 USERS = [
     # (email, role, password_hash=md5(password))

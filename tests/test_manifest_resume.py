@@ -8,7 +8,6 @@ from __future__ import annotations
 
 import os
 
-import pytest
 from pyspark.sql import functions as F
 
 from sparkcheck import FieldConstraint, build_validator

@@ -7,7 +7,6 @@
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from sparkcheck import suite as S
