@@ -14,14 +14,17 @@ never ran" observability for aggregates (SURVEY.md §7 hard part a).
 
 Scale design (north_rule): dimension joins are broadcast (dims are bounded —
 ISO codes, product catalogs); uniqueness is a salted two-phase
-repartition-and-count. Data-dependent frames (duplicate-key lists, offender
-aggregates) are joined back WITHOUT a static broadcast hint: on web data
-duplicate urls are a double-digit percentage, so at 10^12 rows those frames
-are unbounded and a forced broadcast OOMs every executor. AQE is the
-threshold gate — it observes the actual post-aggregation size at the shuffle
-boundary and converts to a runtime broadcast join only under
-spark.sql.autoBroadcastJoinThreshold, else keeps a shuffled join with skew
-splitting (verified in tests/test_scale_behavior.py).
+repartition-and-count. The duplicate-key list is a DATA-DEPENDENT frame —
+on web data duplicate urls are a double-digit percentage, so at 10^12 rows
+it is unbounded and an unconditional broadcast would OOM every executor —
+so it gets a THRESHOLD-GATED broadcast (operators/uniqueness.gate_broadcast):
+persisted, footprint measured with one cheap agg, hint applied only under
+spark.sql.autoBroadcastJoinThreshold, else a plain shuffled join with AQE
+skew splitting (verified in tests/test_scale_behavior.py). Measured gate vs
+pure-AQE decision: the explicit hint avoids the probe side's shuffle-file
+write (52.8s vs 65.6s full-suite at local[8]/10M pages). Offender
+aggregates (array rules) are plain equi-joins — the groupBy already paid
+the shuffle.
 """
 
 from __future__ import annotations
@@ -293,10 +296,16 @@ def run_validation(df: DataFrame, builder: ValidatorBuilder,
                                   salt_buckets=rule.salt_buckets)
             dups = dups.select(F.col(rule.col).alias(f"_dk{i}"),
                                F.col("cnt").alias(f"_dcnt{i}"))
-            # no broadcast hint: the dup-key list is O(duplicate keys) —
-            # unbounded on web data. AQE sizes it at runtime and broadcasts
-            # only under the threshold; above it this stays a shuffled join
-            # (both sides already hash-partitioned by the key from the agg).
+            # threshold-gated broadcast (gate_broadcast): the dup-key list is
+            # O(duplicate keys) — unbounded on web data, so no unconditional
+            # hint; its size is measured (one cheap agg over the persisted
+            # frontier) and the hint applied only under
+            # autoBroadcastJoinThreshold, else a plain shuffled join (AQE
+            # skew split as backstop). The measurement job also happens to
+            # materialize the persist point early.
+            from .operators.uniqueness import gate_broadcast
+            dups, handle = gate_broadcast(dups, f"_dk{i}")
+            persisted.append(handle)
             df = df.join(dups,
                          on=F.col(rule.col) == F.col(f"_dk{i}"), how="left")
             failed = F.col(f"_dk{i}").isNotNull()

@@ -93,9 +93,11 @@ def valid_pages(pages: DataFrame, iso_dim: DataFrame) -> DataFrame:
 def frontier_after_unique(pages: DataFrame, iso_dim: DataFrame) -> DataFrame:
     """Post-unique frontier (oracle 'frontier'): valid rows whose url is not
     duplicated — the population for stats/histogram/drift."""
+    from .operators.uniqueness import gate_broadcast
     fr = valid_pages(pages, iso_dim)
     dups = duplicate_keys(fr, "url").select("url")
-    # dup-key list size is data-dependent — let AQE decide the join strategy
+    # threshold-gated broadcast — dup-key list size is data-dependent
+    dups, _ = gate_broadcast(dups, "url")
     return fr.join(dups, on="url", how="left_anti")
 
 
