@@ -18,9 +18,10 @@ repartition-and-count. The duplicate-key list is a DATA-DEPENDENT frame —
 on web data duplicate urls are a double-digit percentage, so at 10^12 rows
 it is unbounded and an unconditional broadcast would OOM every executor —
 so it gets a THRESHOLD-GATED broadcast (operators/uniqueness.gate_broadcast):
-persisted, footprint measured with one cheap agg, hint applied only under
-spark.sql.autoBroadcastJoinThreshold, else a plain shuffled join with AQE
-skew splitting (verified in tests/test_scale_behavior.py). Measured gate vs
+one CollectLimit probe bounded by spark.sql.autoBroadcastJoinThreshold —
+under it the collected keys become a broadcast-hinted LocalRelation (computed
+once, never persisted), above it a plain shuffled join with AQE skew
+splitting (verified in tests/test_scale_behavior.py). Measured gate vs
 pure-AQE decision: the explicit hint avoids the probe side's shuffle-file
 write (52.8s vs 65.6s full-suite at local[8]/10M pages). Offender
 aggregates (array rules) are plain equi-joins — the groupBy already paid
@@ -298,14 +299,15 @@ def run_validation(df: DataFrame, builder: ValidatorBuilder,
                                F.col("cnt").alias(f"_dcnt{i}"))
             # threshold-gated broadcast (gate_broadcast): the dup-key list is
             # O(duplicate keys) — unbounded on web data, so no unconditional
-            # hint; its size is measured (one cheap agg over the persisted
-            # frontier) and the hint applied only under
-            # autoBroadcastJoinThreshold, else a plain shuffled join (AQE
-            # skew split as backstop). The measurement job also happens to
-            # materialize the persist point early.
+            # hint; one CollectLimit probe bounded by the broadcast threshold
+            # decides — under it, the collected keys become a hinted
+            # LocalRelation (the dup aggregate runs exactly once, nothing
+            # stays persisted); above it, a plain shuffled join (AQE skew
+            # split as backstop) over a frame persisted into this run's
+            # lifecycle list. The probe job also happens to materialize the
+            # persist point early.
             from .operators.uniqueness import gate_broadcast
-            dups, handle = gate_broadcast(dups, f"_dk{i}")
-            persisted.append(handle)
+            dups = gate_broadcast(dups, f"_dk{i}", owner=persisted)
             df = df.join(dups,
                          on=F.col(rule.col) == F.col(f"_dk{i}"), how="left")
             failed = F.col(f"_dk{i}").isNotNull()

@@ -34,12 +34,25 @@ def parse_size_bytes(v) -> int:
     return int(float(s)) * mult
 
 
-def gate_broadcast(small: DataFrame, key_col: str):
-    """Threshold-gated broadcast of a DATA-DEPENDENT small frame (dup-key
-    lists): persist it, estimate its broadcast footprint with one cheap agg,
-    and apply an explicit broadcast hint only if the estimate fits under
-    spark.sql.autoBroadcastJoinThreshold — else return it unhinted (plain
-    shuffled join; AQE skew handling applies).
+# hashed-relation overhead estimate per broadcast entry; also bounds the
+# gate's driver-side collect to threshold/32 rows
+PER_ROW_OVERHEAD = 32
+# hard cap on the gate's driver-side probe regardless of the configured
+# broadcast threshold (2M keys ≈ the most a sane broadcast would ship anyway)
+MAX_PROBE_ROWS = 2_000_000
+
+
+def gate_broadcast(small: DataFrame, key_col: str,
+                   owner: list | None = None) -> DataFrame:
+    """Collect-once threshold gate for a DATA-DEPENDENT small frame (dup-key
+    lists): probe it with ONE CollectLimit job bounded by the broadcast
+    threshold. If every row fits under spark.sql.autoBroadcastJoinThreshold,
+    the collected rows become a LocalRelation with an explicit broadcast hint
+    — the rows a broadcast would ship to the driver anyway are collected
+    once and reused as the build side, so the aggregation subtree is computed
+    exactly once per query and no persisted handle can leak. Above the
+    threshold the frame is returned unhinted (plain shuffled join; AQE skew
+    handling applies).
 
     Why not leave it entirely to AQE: without a static hint both join
     children get shuffle exchanges, and AQE's runtime conversion still pays
@@ -48,26 +61,40 @@ def gate_broadcast(small: DataFrame, key_col: str):
     The explicit gate keeps the 100-TB safety (no unbounded broadcast: above
     the threshold it stays a shuffled join) without that write.
 
-    Returns (maybe_hinted_frame, persisted_handle) — caller owns unpersist
-    of the handle."""
+    `owner`: optional lifecycle list (e.g. the engine's `persisted`). In the
+    ABOVE-threshold case the frame is persisted and its handle appended to
+    `owner` so the shuffled join does not recompute the aggregation subtree;
+    with owner=None the caller accepts one recompute instead of a session-
+    lifetime cache handle (the round-2 leak, VERDICT r02 item 5).
+
+    NOTE eager: one Spark job runs at DataFrame-construction time — the gate
+    decision (hint or not) must be made before the plan is finalized."""
     spark = small.sparkSession
-    small = small.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def _big(frame: DataFrame) -> DataFrame:
+        if owner is not None:
+            frame = frame.persist(StorageLevel.MEMORY_AND_DISK)
+            owner.append(frame)
+        return frame
+
     try:
         threshold = parse_size_bytes(
             spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
     except Exception:
         threshold = 10 << 20
     if threshold <= 0:  # broadcast disabled
-        return small, small
-    stats = small.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.avg(F.length(F.col(key_col).cast("string"))).alias("w")).collect()[0]
-    n = stats["n"] or 0
-    # per-entry estimate: key bytes + hashed-relation overhead (~32B/row)
-    est = n * ((stats["w"] or 8.0) + 32)
-    if est < threshold:
-        return F.broadcast(small), small
-    return small, small
+        return _big(small)
+    max_rows = min(threshold // PER_ROW_OVERHEAD, MAX_PROBE_ROWS)
+    probe = small.limit(max_rows + 1).collect()
+    if len(probe) <= max_rows:
+        # we hold ALL rows — estimate: key bytes + ~32B/row hashed-relation
+        # overhead, same formula as a broadcast build would pay
+        est = sum(len(str(r[key_col] or "")) + PER_ROW_OVERHEAD
+                  for r in probe)
+        if est < threshold:
+            local = spark.createDataFrame(probe, small.schema)
+            return F.broadcast(local)
+    return _big(small)
 
 
 def duplicate_keys(df: DataFrame, col: str, salt_buckets: int = 64) -> DataFrame:
@@ -93,7 +120,12 @@ def duplicate_keys(df: DataFrame, col: str, salt_buckets: int = 64) -> DataFrame
 def duplicate_rows(df: DataFrame, col: str, salt_buckets: int = 64) -> DataFrame:
     """All rows whose `col` value duplicates. The dup-key list is
     data-dependent (unbounded under mass duplication) — threshold-gated
-    broadcast via gate_broadcast, plain shuffled join above the threshold."""
-    dups, _ = gate_broadcast(duplicate_keys(df, col, salt_buckets).select(col),
-                             col)
+    broadcast via gate_broadcast (collect-once LocalRelation under the
+    threshold — nothing stays persisted), plain shuffled join above it
+    (recomputes the dup-key aggregate once at action time; pass validate()'s
+    engine path an `owner` list if you need the cached variant).
+
+    NOTE eager: gate_broadcast runs one Spark job at construction time."""
+    dups = gate_broadcast(duplicate_keys(df, col, salt_buckets).select(col),
+                          col)
     return df.join(dups, on=col, how="inner")

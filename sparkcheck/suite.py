@@ -92,12 +92,16 @@ def valid_pages(pages: DataFrame, iso_dim: DataFrame) -> DataFrame:
 
 def frontier_after_unique(pages: DataFrame, iso_dim: DataFrame) -> DataFrame:
     """Post-unique frontier (oracle 'frontier'): valid rows whose url is not
-    duplicated — the population for stats/histogram/drift."""
+    duplicated — the population for stats/histogram/drift.
+
+    NOTE eager: the threshold gate runs one Spark job at construction time
+    (the dup-key list size is data-dependent); under the broadcast threshold
+    the collected keys become a LocalRelation, so nothing stays persisted
+    (round-2 leak fixed) and the dup aggregate runs exactly once."""
     from .operators.uniqueness import gate_broadcast
     fr = valid_pages(pages, iso_dim)
     dups = duplicate_keys(fr, "url").select("url")
-    # threshold-gated broadcast — dup-key list size is data-dependent
-    dups, _ = gate_broadcast(dups, "url")
+    dups = gate_broadcast(dups, "url")
     return fr.join(dups, on="url", how="left_anti")
 
 
