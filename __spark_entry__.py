@@ -89,6 +89,14 @@ def q_length_histogram(spark, sf_dir):
     return length_histogram(fr, "text", bin_width=50)
 
 
+def q_suite_length_hists(spark, sf_dir):
+    """ColumnStatsRule.hist_cols end-to-end: the flagship suite requests
+    hist_cols=['text'] and the engine emits a real histogram output frame
+    (ValidationResult.hists) — no silently-dropped metric requests."""
+    _, res = S.run_suite(spark, sf_dir, replicas=REPLICAS, with_drift=False)
+    return res.hists
+
+
 def q_extraction_identity(spark, sf_dir):
     pages = _pages(spark, sf_dir)
     return (pages.filter(F.col("html").isNotNull())
@@ -304,6 +312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_url_dups": q_unique_url_dups,
         "column_stats_exact": q_column_stats_exact,
         "length_histogram": q_length_histogram,
+        "suite_length_hists": q_suite_length_hists,
         "extraction_identity": q_extraction_identity,
         "drift_lang_kl": q_drift_lang_kl,
         "drift_lang_psi": q_drift_lang_psi,
@@ -344,6 +353,7 @@ def oracle_sql() -> dict[str, str]:
         "unique_url_dups": oracle.unique_url_dups(),
         "column_stats_exact": oracle.column_stats_exact(),
         "length_histogram": oracle.length_histogram(),
+        "suite_length_hists": oracle.suite_length_hists(),
         "extraction_identity": oracle.extraction_identity(),
         "drift_lang_kl": oracle.drift_lang_kl(),
         "drift_lang_psi": oracle.drift_lang_psi(),

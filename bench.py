@@ -57,6 +57,8 @@ def main() -> None:
     _force(warm.violations)
     if warm.stats is not None:
         _force(warm.stats)
+    if warm.hists is not None:
+        _force(warm.hists)
     warm.unpersist()
 
     pages = load_pages(spark, sf_dir, replicas=replicas)
@@ -85,6 +87,8 @@ def main() -> None:
         _force(res.violations)
         if res.stats is not None:
             _force(res.stats)
+        if res.hists is not None:
+            _force(res.hists)
         res.unpersist()
 
     timed("full_suite", full_suite)

@@ -22,6 +22,7 @@ Layout under <base>/:
     verdicts/     parquet, partitioned by run_id
     violations/   parquet, partitioned by run_id
     stats/        parquet, per run_id
+    hists/        parquet, per run_id (hist_cols length histograms)
     sketches/     parquet, per run_id (mergeable HLL)
     manifest/     parquet: one row per (run_id, input_file) — commit records
 """
@@ -36,7 +37,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-OUTPUT_DIRS = ("verdicts", "violations", "stats", "sketches")
+OUTPUT_DIRS = ("verdicts", "violations", "stats", "hists", "sketches")
 
 
 @dataclass
@@ -173,6 +174,10 @@ def run_resumable(spark: SparkSession, input_glob: str, build_validator_fn,
         (result.stats.withColumn("run_id", F.lit(run_id))
            .write.mode("append").partitionBy("run_id")
            .parquet(os.path.join(base, "stats")))
+    if result.hists is not None:
+        (result.hists.withColumn("run_id", F.lit(run_id))
+           .write.mode("append").partitionBy("run_id")
+           .parquet(os.path.join(base, "hists")))
     if sketch_cols:
         from .operators.stats import column_sketches
         (column_sketches(df, sketch_cols).withColumn("run_id", F.lit(run_id))

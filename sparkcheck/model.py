@@ -207,7 +207,7 @@ class ColumnStatsRule(RuleSpec):
 
     cols: list[str] = field(default_factory=list)
     hll_rsd: float = 0.05
-    hist_bins: int = 10
+    hist_bin_width: int = 50
     hist_cols: list[str] = field(default_factory=list)
     kind: str = "column_stats"
 
@@ -332,10 +332,13 @@ class ValidatorBuilder:
                                     prefix=prefix, key=key))
 
     def column_stats(self, cols: list[str], id: str = "column-stats",
-                     hll_rsd: float = 0.05, hist_bins: int = 10,
+                     hll_rsd: float = 0.05, hist_bin_width: int = 50,
                      hist_cols: list[str] | None = None) -> "ValidatorBuilder":
+        """Per-column stats over the surviving frontier; hist_cols adds a
+        length-histogram output frame (ValidationResult.hists — long format
+        (col, bucket, n), bucket = floor(length/hist_bin_width))."""
         return self.rule(ColumnStatsRule(id=id, cols=cols, hll_rsd=hll_rsd,
-                                         hist_bins=hist_bins,
+                                         hist_bin_width=hist_bin_width,
                                          hist_cols=hist_cols or []))
 
     def drift_kl(self, col: str, bucket_expr: ColumnLike, baseline: str,

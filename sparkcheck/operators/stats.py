@@ -20,7 +20,6 @@ STATS_SCHEMA = ("col string, null_rate double, n_distinct bigint, "
 
 
 def column_stats(df: DataFrame, cols: list[str], hll_rsd: float = 0.05,
-                 hist_bins: int = 10, hist_cols: list[str] | None = None,
                  exact_distinct: bool = False) -> DataFrame:
     """Long-format stats table: (col, null_rate, n_distinct, min_value,
     max_value). One wide aggregate → unpivoted driver-side (k columns → k
@@ -52,6 +51,20 @@ def length_histogram(df: DataFrame, col: str, bin_width: int = 50) -> DataFrame:
     return (df.filter(F.col(col).isNotNull())
               .groupBy(F.floor(F.length(F.col(col)) / bin_width).alias("bucket"))
               .agg(F.count(F.lit(1)).alias("n")))
+
+
+def length_histograms(df: DataFrame, cols: list[str],
+                      bin_width: int = 50) -> DataFrame:
+    """Multi-column length histograms, long format: (col, bucket, n).
+    One map-side-combining groupBy per column, unioned — each column's
+    histogram is an independent O(buckets) aggregate, no cross-column
+    shuffle. Backs ColumnStatsRule.hist_cols (ValidationResult.hists)."""
+    parts = [length_histogram(df, c, bin_width)
+             .select(F.lit(c).alias("col"), "bucket", "n") for c in cols]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def column_sketches(df: DataFrame, cols: list[str],

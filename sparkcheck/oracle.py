@@ -128,6 +128,16 @@ SELECT CAST(FLOOR(length(text) / 50) AS BIGINT) AS bucket, count(*) AS n
 FROM frontier WHERE text IS NOT NULL GROUP BY 1"""
 
 
+def suite_length_hists() -> str:
+    """ColumnStatsRule.hist_cols output (ValidationResult.hists): the flagship
+    suite requests hist_cols=['text'] (suite.py) — long format (col, bucket,
+    n) over the post-rules frontier, bucket = floor(length/50)."""
+    return f"""{_prelude()}
+SELECT 'text' AS col, CAST(FLOOR(length(text) / 50) AS BIGINT) AS bucket,
+       count(*) AS n
+FROM frontier WHERE text IS NOT NULL GROUP BY 1, 2"""
+
+
 def extraction_identity() -> str:
     """Re-derive the extraction in SQL from the html bytes — cross-checks the
     pandas UDF byte-for-byte via sha256."""
