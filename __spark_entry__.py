@@ -271,9 +271,13 @@ def q_ann_brute_topk(spark, sf_dir):
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH ANN with md5-derived hyperplanes (engine-independent) — the
     bucket signature is reproduced bit-for-bit by the DuckDB oracle;
-    2-table OR-construction for recall."""
-    return similarity.lsh_topk(_emb(spark, sf_dir), [0, 1, 2, 3, 4], k=10,
-                               tables=2)
+    2-table OR-construction for recall. Signature width derived from the
+    corpus size (auto_bits — the oracle computes the identical integer
+    ladder over count(*)), not pinned."""
+    emb = _emb(spark, sf_dir)
+    bits = similarity.auto_bits(emb.count(), hi=similarity.ORACLE_MAX_BITS)
+    return similarity.lsh_topk(emb, [0, 1, 2, 3, 4], k=10, tables=2,
+                               bits=bits)
 
 
 def q_media_features(spark, sf_dir):
@@ -287,10 +291,12 @@ def q_media_features(spark, sf_dir):
 
 def q_embedding_near_dups(spark, sf_dir):
     """LSH-bucketed all-pairs cosine near-duplicates (threshold low enough to
-    return rows on random embeddings). bits sizes the bucket count — scale it
-    with N in production (2^bits ≈ N / target_bucket_size)."""
-    return similarity.embedding_near_dups(_emb(spark, sf_dir), threshold=0.4,
-                                          bits=6)
+    return rows on random embeddings). Bucket count derived from the corpus
+    (auto_bits: 2^bits ≈ N/128 keeps within-bucket pairing cost constant as
+    N grows); the oracle derives the same width from count(*)."""
+    emb = _emb(spark, sf_dir)
+    bits = similarity.auto_bits(emb.count(), hi=similarity.ORACLE_MAX_BITS)
+    return similarity.embedding_near_dups(emb, threshold=0.4, bits=bits)
 
 
 # --- rows-only (engine-specific by nature; pytest-verified) ------------------

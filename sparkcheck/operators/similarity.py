@@ -139,11 +139,31 @@ def auto_bits(n_rows: int, target_bucket_size: int = 128,
     """Size the signature width to the corpus instead of a fixed demo value:
     2^bits ≈ n_rows / target_bucket_size keeps expected bucket occupancy
     (and therefore the within-bucket O(b²) pairing cost) constant as N
-    grows — at 10^9 rows this yields 23 bits; at 10^4, 7."""
-    import math
-    if n_rows <= target_bucket_size:
-        return lo
-    return max(lo, min(hi, math.ceil(math.log2(n_rows / target_bucket_size))))
+    grows — at 10^9 rows this yields 23 bits; at 10^4, 7.
+
+    Pure-integer formulation (smallest b with target·2^b ≥ n) so the SQL
+    ladder auto_bits_sql produces the exact same value in any engine — no
+    float log2 boundary cases between Python and DuckDB."""
+    b = lo
+    while b < hi and target_bucket_size * (1 << b) < n_rows:
+        b += 1
+    return b
+
+
+# the oracled driver queries clamp the signature width here: the oracle SQL
+# materializes one plane-fold per bit up to this cap and masks the rest
+ORACLE_MAX_BITS = 16
+
+
+def auto_bits_sql(count_expr: str, target_bucket_size: int = 128,
+                  lo: int = 4, hi: int = ORACLE_MAX_BITS) -> str:
+    """The auto_bits integer ladder as portable SQL over a row-count
+    expression — exact-integer comparisons, byte-identical decisions to
+    auto_bits(n, target, lo, hi) for every n."""
+    cases = " ".join(
+        f"WHEN {count_expr} <= {target_bucket_size * (1 << b)} THEN {b}"
+        for b in range(lo, hi))
+    return f"(CASE {cases} ELSE {hi} END)"
 
 
 def lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 10,

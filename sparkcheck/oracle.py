@@ -351,23 +351,42 @@ ranked AS (
 SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {k}"""
 
 
-def _lsh_buckets_cte(dim: int = 64, bits: int = 8, seed: int = 7,
+def _lsh_buckets_cte(dim: int = 64, bits: int | None = 8, seed: int = 7,
                      tables: int = 1) -> str:
-    from .operators.similarity import lsh_bucket_sql, table_seed
-    per_table = " UNION ALL ".join(
-        f"SELECT vec_id, embedding, {t} AS t, CAST("
-        + lsh_bucket_sql("embedding", dim, bits, table_seed(seed, t))
-        + " AS BIGINT) AS bkt FROM embeddings"
-        for t in range(tables))
+    """bits=None → corpus-adaptive: the full ORACLE_MAX_BITS signature is
+    masked by `% 2^auto_bits(count)` (the auto_bits integer ladder rendered
+    as SQL). Because signature bit b depends only on plane b, masking the
+    16-plane signature to the low `nb` bits equals computing an nb-plane
+    signature — so this is bit-identical to the Spark side calling
+    lsh_bucket_expr with bits = auto_bits(count, hi=ORACLE_MAX_BITS)."""
+    from .operators.similarity import (ORACLE_MAX_BITS, auto_bits_sql,
+                                       lsh_bucket_sql, table_seed)
+    if bits is None:
+        nb = auto_bits_sql("(SELECT count(*) FROM embeddings)")
+        per_table = " UNION ALL ".join(
+            f"SELECT vec_id, embedding, {t} AS t, CAST(("
+            + lsh_bucket_sql("embedding", dim, ORACLE_MAX_BITS,
+                             table_seed(seed, t))
+            + f") % (CAST(1 AS BIGINT) << {nb}) AS BIGINT) AS bkt "
+            f"FROM embeddings"
+            for t in range(tables))
+    else:
+        per_table = " UNION ALL ".join(
+            f"SELECT vec_id, embedding, {t} AS t, CAST("
+            + lsh_bucket_sql("embedding", dim, bits, table_seed(seed, t))
+            + " AS BIGINT) AS bkt FROM embeddings"
+            for t in range(tables))
     return f"b AS ({per_table})"
 
 
 def ann_lsh_topk(query_ids=(0, 1, 2, 3, 4), k: int = 10, dim: int = 64,
-                 bits: int = 8, seed: int = 7, tables: int = 2) -> str:
+                 bits: int | None = None, seed: int = 7,
+                 tables: int = 2) -> str:
     """LSH ANN oracle: identical md5-derived hyperplanes (shared integer
     literals) + the same sequential-fold dot product → bit-identical bucket
     signatures per table, OR-construction over tables, then scoring +
-    ranking as in brute."""
+    ranking as in brute. bits=None (default) derives the signature width
+    from count(*) via the shared auto_bits ladder — no pinned demo bits."""
     ids = ", ".join(str(i) for i in query_ids)
     cos = _cos_sql("q.qv", "b.embedding", "b.embedding")
     return f"""
@@ -387,8 +406,11 @@ SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {k}"""
 
 
 def embedding_near_dups(threshold: float = 0.4, dim: int = 64,
-                        bits: int = 6, seed: int = 7) -> str:
-    """LSH-bucketed near-duplicate oracle (same buckets as the engine)."""
+                        bits: int | None = None, seed: int = 7) -> str:
+    """LSH-bucketed near-duplicate oracle (same buckets as the engine).
+    bits=None derives the signature width from count(*) via the shared
+    auto_bits ladder — bucket occupancy stays constant as the corpus grows
+    instead of being pinned to a demo value (VERDICT r02 item 4)."""
     cos = _cos_sql("x.embedding", "y.embedding", "x.embedding")
     return f"""
 WITH {_lsh_buckets_cte(dim, bits, seed)},
