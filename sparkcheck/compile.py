@@ -223,7 +223,55 @@ def apply_declared_struct(df, declared):
            for f in declared.fields if f.name not in present]
     if add:
         df = df.select("*", *add)
+    # ...and rebuild existing struct columns whose DECLARED NESTED members are
+    # missing, adding them as typed NULLs (withField) — a later rule
+    # referencing the nested path compiles instead of AnalysisException
+    act_by_name = {f.name: f for f in actual.fields}
+    for f in declared.fields:
+        a = act_by_name.get(f.name)
+        if a is not None and isinstance(f.dataType, StructType) \
+                and isinstance(a.dataType, StructType) \
+                and _struct_needs_patch(f.dataType, a.dataType):
+            df = df.withColumn(f.name, _patch_struct(
+                F.col(f.name), f.dataType, a.dataType))
     return df, checks
+
+
+def _struct_needs_patch(dec, act) -> bool:
+    """True when a declared nested member is absent from the actual struct
+    (at any depth)."""
+    from pyspark.sql.types import StructType
+
+    act_by = {f.name: f for f in act.fields}
+    for f in dec.fields:
+        a = act_by.get(f.name)
+        if a is None:
+            return True
+        if isinstance(f.dataType, StructType) \
+                and isinstance(a.dataType, StructType) \
+                and _struct_needs_patch(f.dataType, a.dataType):
+            return True
+    return False
+
+
+def _patch_struct(col: Column, dec, act) -> Column:
+    """Rebuild a struct column with declared-but-missing members added as
+    typed NULLs, recursively. Rows where the struct itself is NULL stay NULL
+    (withField preserves null structs)."""
+    from pyspark.sql.types import StructType
+
+    act_by = {f.name: f for f in act.fields}
+    out = col
+    for f in dec.fields:
+        a = act_by.get(f.name)
+        if a is None:
+            out = out.withField(f.name, F.lit(None).cast(f.dataType))
+        elif isinstance(f.dataType, StructType) \
+                and isinstance(a.dataType, StructType) \
+                and _struct_needs_patch(f.dataType, a.dataType):
+            out = out.withField(f.name, _patch_struct(
+                col.getField(f.name), f.dataType, a.dataType))
+    return out
 
 
 def empty_emissions() -> Column:

@@ -129,6 +129,26 @@ def global_distinct(spark: SparkSession, base: str):
     return merge_sketch_estimates(sketches)
 
 
+def _norm_uri(col):
+    """input_file_name() yields file:///x while the binaryFile lister yields
+    file:/x — normalize to the input_file_name form so joins/commits agree."""
+    return F.regexp_replace(col, "^file:/+", "file:///")
+
+
+def input_files_df(spark: SparkSession, input_glob: str) -> DataFrame:
+    """One row per INPUT FILE (including zero-row files), listed as a
+    DataFrame via the binaryFile source with content pruned — distributed,
+    never a driver-side python list. Spark-internal non-data files
+    (_SUCCESS etc.) are excluded, matching the parquet reader's listing.
+    On a lakehouse this is the files() metadata table instead."""
+    bf = (spark.read.format("binaryFile")
+          .option("recursiveFileLookup", "false")
+          .load(input_glob))
+    name = F.element_at(F.split(F.col("path"), "/"), -1)
+    return (bf.filter(~name.startswith("_") & ~name.startswith("."))
+              .select(_norm_uri(F.col("path")).alias("input_file")))
+
+
 def run_resumable(spark: SparkSession, input_glob: str, build_validator_fn,
                   base: str, run_id: str | None = None,
                   key_col: str = "url", sketch_cols: list[str] | None = None):
@@ -146,8 +166,12 @@ def run_resumable(spark: SparkSession, input_glob: str, build_validator_fn,
     manifest.reconcile(spark)  # drop uncommitted leftovers before reprocessing
 
     raw = spark.read.parquet(input_glob) \
-        .withColumn("_input_file", F.input_file_name())
+        .withColumn("_input_file", _norm_uri(F.input_file_name()))
     done = manifest.completed_files_df(spark)
+    # pending FILE list from the (distributed) lister — includes zero-row
+    # files, which produce no rows and would otherwise never commit and be
+    # re-planned on every resume (ADVICE r02)
+    pending_files = input_files_df(spark, input_glob)
     if done is not None:
         # anti-join instead of a collected isin() list: `done` is O(files),
         # broadcast by AQE when small, shuffled join when a checkpoint has
@@ -155,10 +179,26 @@ def run_resumable(spark: SparkSession, input_glob: str, build_validator_fn,
         pending = raw.join(done,
                            raw["_input_file"] == done["input_file"],
                            "left_anti")
+        pending_files = pending_files.join(
+            done, on="input_file", how="left_anti")
     else:
         pending = raw
+
+    def _commit_empty_only() -> int:
+        """Only zero-row files pending: commit them so they stop rescanning."""
+        empties = (pending_files
+                   .select(F.lit(run_id).alias("run_id"), "input_file",
+                           F.lit(0).cast("bigint").alias("rows"),
+                           F.lit(0).cast("bigint").alias("failed_rows"),
+                           F.lit("complete").alias("status"),
+                           F.lit(0.0).alias("wall_sec")))
+        n = empties.count()
+        if n:
+            manifest.append_df(empties)
+        return n
+
     if pending.limit(1).isEmpty():
-        return run_id, 0, None
+        return run_id, _commit_empty_only(), None
 
     t0 = time.perf_counter()
     validator, df = build_validator_fn(spark, pending)
@@ -186,16 +226,23 @@ def run_resumable(spark: SparkSession, input_glob: str, build_validator_fn,
     wall = time.perf_counter() - t0
 
     # per-file lineage metrics from the (persisted) annotated frame — built
-    # and written as a DataFrame, never collected to the driver
-    entries = (result.annotated
-               .groupBy("_input_file")
-               .agg(F.count(F.lit(1)).alias("rows"),
-                    F.coalesce(
-                        F.sum(F.col("_fail").isNotNull().cast("long")),
-                        F.lit(0)).alias("failed_rows"))
-               .select(F.lit(run_id).alias("run_id"),
-                       F.col("_input_file").alias("input_file"),
-                       "rows", "failed_rows",
+    # and written as a DataFrame, never collected to the driver. Pending
+    # files with no surviving rows (zero-row parquet) are committed with
+    # rows=0 via a left join from the pending FILE list, so n_files agrees
+    # with the files actually consumed and they are never re-scanned.
+    per_file = (result.annotated
+                .groupBy("_input_file")
+                .agg(F.count(F.lit(1)).alias("rows"),
+                     F.coalesce(
+                         F.sum(F.col("_fail").isNotNull().cast("long")),
+                         F.lit(0)).alias("failed_rows"))
+                .withColumnRenamed("_input_file", "input_file"))
+    entries = (pending_files
+               .join(per_file, on="input_file", how="left")
+               .select(F.lit(run_id).alias("run_id"), "input_file",
+                       F.coalesce(F.col("rows"), F.lit(0)).alias("rows"),
+                       F.coalesce(F.col("failed_rows"), F.lit(0))
+                       .alias("failed_rows"),
                        F.lit("complete").alias("status"),
                        F.lit(round(wall, 3)).alias("wall_sec")))
     manifest.append_df(entries)  # commit point

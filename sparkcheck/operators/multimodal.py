@@ -70,7 +70,13 @@ def _decode_wav(blob: bytes):
     with wave.open(io.BytesIO(blob)) as w:
         n, ch, sw = w.getnframes(), w.getnchannels(), w.getsampwidth()
         raw = w.readframes(n)
-    dt = {1: np.uint8, 2: np.int16, 4: np.int32}[sw]
+    dt = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
+    if dt is None:
+        # same contract as the dispatcher: unsupported format → actionable
+        # NotImplementedError, not an opaque KeyError inside mapInPandas
+        raise NotImplementedError(
+            f"unsupported WAV sample width {sw} bytes (24-bit PCM needs "
+            "3-byte unpacking; only 8/16/32-bit PCM is decoded here)")
     samples = np.frombuffer(raw, dtype=dt)
     return _bucket_means(samples), n % 65536, ch * 1000 + sw * 8
 

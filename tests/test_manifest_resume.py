@@ -123,3 +123,31 @@ def test_two_full_runs_identical(spark, tmp_path):
     run_resumable(spark, inp, _builder_fn, b1, run_id="x")
     run_resumable(spark, inp, _builder_fn, b2, run_id="x")
     assert _collect_outputs(spark, b1) == _collect_outputs(spark, b2)
+
+
+def test_zero_row_input_files_commit_and_stop_rescanning(spark, tmp_path):
+    """ADVICE r02: a zero-row parquet file produces no rows, so row-derived
+    lineage never committed it and every resume re-planned it. The pending
+    FILE list (binaryFile lister) commits it with rows=0; n_files agrees
+    with the files actually consumed."""
+    inp = _make_input(spark, tmp_path, n_files=3)
+    # drop a zero-row parquet file into the same input dir
+    src = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    empty_dir = str(tmp_path / "empty")
+    src.limit(0).coalesce(1).write.parquet(empty_dir)
+    import shutil
+    part = next(f for f in os.listdir(empty_dir) if f.endswith(".parquet"))
+    shutil.copy(os.path.join(empty_dir, part),
+                os.path.join(inp, "zero-rows.parquet"))
+
+    base = str(tmp_path / "ckpt")
+    _, n1, _ = run_resumable(spark, inp, _builder_fn, base, run_id="r1")
+    assert n1 == 4  # 3 data files + the zero-row file all committed
+
+    # second resume: nothing pending — including the zero-row file
+    _, n2, res2 = run_resumable(spark, inp, _builder_fn, base, run_id="r2")
+    assert n2 == 0 and res2 is None
+    m = spark.read.parquet(os.path.join(base, "manifest"))
+    zero = m.filter(F.col("input_file").contains("zero-rows")).collect()
+    assert len(zero) == 1 and zero[0]["rows"] == 0 \
+        and zero[0]["status"] == "complete"

@@ -132,3 +132,32 @@ def test_array_element_constraint_with_value_override(spark):
     viol = res.violations.collect()
     assert [(r["id"], r["key"], r["offending_value"]) for r in viol] == [
         (2, "tags.0", None)]
+
+
+def test_missing_nested_member_projected_as_typed_null(spark):
+    """ADVICE r02: a declared nested member absent from an existing struct is
+    both flagged (dotted-path schema violation) AND projected in as a typed
+    NULL, so a later rule referencing the nested path compiles — the same
+    'parse, don't validate' contract as top-level columns."""
+    df = spark.createDataFrame([(1, (7,))],
+                               "id long, props struct<k:int>")
+    v = (_validator("id long, props struct<k:int, m:string>")
+         .field_rule("m-required", "props.m IS NOT NULL", "m required",
+                     key="props.m"))
+    res = v.validate(df, persist=False)
+    vd = res.verdicts.collect()[0]
+    assert vd["step"] == "schema"
+    keys = {r["key"] for r in res.violations.collect()}
+    assert "props.m" in keys
+    row = res.annotated.select("props").collect()[0]["props"].asDict()
+    assert row == {"k": 7, "m": None}
+
+
+def test_null_struct_rows_survive_nested_patch(spark):
+    df = spark.createDataFrame(
+        [(1, (7,)), (2, None)], "id long, props struct<k:int>")
+    v = _validator("id long, props struct<k:int, m:string>")
+    res = v.validate(df, persist=False)
+    vals = {r["id"]: r["props"] for r in
+            res.annotated.select("id", "props").collect()}
+    assert vals[2] is None and vals[1].asDict() == {"k": 7, "m": None}
