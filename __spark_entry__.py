@@ -129,6 +129,23 @@ def q_drift_lang_psi(spark, sf_dir):
     return spark.createDataFrame([(v4,)], "psi double")
 
 
+def q_drift_len_kl(spark, sf_dir):
+    """Drift on a NUMERIC bucketing (floor(length(text)/50)) — exercises
+    DriftKLRule.bucket_expr generality beyond the categorical lang column
+    (VERDICT r02 item 9)."""
+    from sparkcheck.operators.drift import baseline_snapshot
+    bucket = F.floor(F.length("text") / 50).cast("string")
+    pages = _pages(spark, sf_dir)
+    dim = iso_lang_dim(spark)
+    fr = S.frontier_after_unique(pages, dim)
+    first = S.valid_pages(pages.filter(F.col("rid") % REPLICAS == 0), dim)
+    baseline = baseline_snapshot(first, {"len_bucket": bucket})
+    kl = kl_divergence(fr, "len_bucket", bucket, baseline)
+    import math
+    kl4 = math.floor(kl * 10000 + 0.5) / 10000.0
+    return spark.createDataFrame([(kl4,)], "kl double")
+
+
 def q_numeric_quantiles(spark, sf_dir):
     """Exact interpolated per-column quantiles (events.value) — the
     numeric-stats companion to column_stats; approx_percentile is the
@@ -322,6 +339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extraction_identity": q_extraction_identity,
         "drift_lang_kl": q_drift_lang_kl,
         "drift_lang_psi": q_drift_lang_psi,
+        "drift_len_kl": q_drift_len_kl,
         "numeric_quantiles": q_numeric_quantiles,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
@@ -363,6 +381,7 @@ def oracle_sql() -> dict[str, str]:
         "extraction_identity": oracle.extraction_identity(),
         "drift_lang_kl": oracle.drift_lang_kl(),
         "drift_lang_psi": oracle.drift_lang_psi(),
+        "drift_len_kl": oracle.drift_len_kl(),
         "numeric_quantiles": oracle.numeric_quantiles(),
         "token_count": oracle.token_count(),
         "quality_score": oracle.quality_score(),

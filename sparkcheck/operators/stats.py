@@ -115,6 +115,29 @@ def numeric_quantiles(df: DataFrame, cols: list[str],
         f"stack({len(cols) * len(probs)}, {', '.join(rows)}) as (col, p, q)")
 
 
+def numeric_quantiles_approx(df: DataFrame, cols: list[str],
+                             probs: tuple[float, ...] = (0.25, 0.5, 0.75,
+                                                         0.95),
+                             accuracy: int = 10000) -> DataFrame:
+    """Sketch-based quantiles — the 10^12-row drop-in for numeric_quantiles
+    (same output shape (col, p, q), same single-agg plan): approx_percentile
+    builds mergeable Greenwald-Khanna sketches with rank error ≤ n/accuracy,
+    so partial aggregation and resume-merging work where exact `percentile`
+    would buffer every value. Tolerance-tested against the exact operator in
+    tests/test_sketches.py."""
+    probs_sql = ", ".join(str(p) for p in probs)
+    aggs = [F.expr(f"approx_percentile({c}, array({probs_sql}), {accuracy})")
+            .alias(f"q_{c}") for c in cols]
+    wide = df.agg(*aggs)
+    rows = []
+    for c in cols:
+        for i, p in enumerate(probs):
+            rows.append(f"'{c}', cast({p} as double), "
+                        f"cast(`q_{c}`[{i}] as double)")
+    return wide.selectExpr(
+        f"stack({len(cols) * len(probs)}, {', '.join(rows)}) as (col, p, q)")
+
+
 def partition_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     """Per-partition row counts + null counts keyed by spark_partition_id()
     (per-partition verdict/metrics lineage for the checkpoint manifest)."""

@@ -526,6 +526,24 @@ SELECT FLOOR(SUM((p + {smoothing}) * LN((p + {smoothing}) / (q + {smoothing}))) 
 FROM j"""
 
 
+def drift_len_kl(smoothing: float = 1e-9) -> str:
+    """Numeric-bucket drift oracle: same CTE shape as drift_lang_kl with
+    bucket = floor(length(text)/50) — Spark's bigint floor rendered as
+    CAST(FLOOR(..) AS BIGINT) so the string buckets agree ('3', not '3.0')."""
+    b = "CAST(CAST(FLOOR(length(text) / 50) AS BIGINT) AS VARCHAR)"
+    return f"""{_prelude()},
+base_rows AS (SELECT {b} AS b FROM fr WHERE rid % {REPLICAS} = 0),
+base AS (SELECT b, count(*) AS n FROM base_rows GROUP BY b),
+basep AS (SELECT b, n * 1.0 / (SELECT SUM(n) FROM base) AS q FROM base),
+cur_rows AS (SELECT {b} AS b FROM frontier),
+cur AS (SELECT b, count(*) AS n FROM cur_rows GROUP BY b),
+curp AS (SELECT b, n * 1.0 / (SELECT SUM(n) FROM cur) AS p FROM cur),
+j AS (SELECT COALESCE(curp.p, 0.0) AS p, COALESCE(basep.q, 0.0) AS q
+      FROM curp FULL OUTER JOIN basep ON curp.b = basep.b)
+SELECT FLOOR(SUM((p + {smoothing}) * LN((p + {smoothing}) / (q + {smoothing}))) * 10000 + 0.5) / 10000.0 AS kl
+FROM j"""
+
+
 def drift_lang_psi(smoothing: float = 1e-6) -> str:
     """PSI drift oracle — same histogram CTEs as KL, symmetric formula."""
     return f"""{_prelude()},

@@ -61,3 +61,28 @@ def test_resumable_runs_merge_sketches(spark, tmp_path):
     exact = src.select("doc_id").distinct().count()
     assert got["lang"] == src.select("lang").distinct().count()
     assert abs(got["doc_id"] - exact) <= 0.05 * exact
+
+
+def test_approx_quantiles_within_rank_tolerance(spark):
+    """VERDICT r02 item 6: the documented approx_percentile drop-in for
+    numeric_quantiles, tolerance-tested like the HLL analogue. Rank error is
+    ≤ n/accuracy, so each approx quantile must lie between the EXACT
+    quantiles at p ± 2/accuracy (slack ×2 for interpolation)."""
+    from sparkcheck.operators.stats import (numeric_quantiles,
+                                            numeric_quantiles_approx)
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    probs = (0.25, 0.5, 0.75, 0.95)
+    acc = 1000
+    approx = {r["p"]: r["q"] for r in
+              numeric_quantiles_approx(events, ["value"], probs,
+                                       accuracy=acc).collect()}
+    eps = 2.0 / acc
+    lo_probs = tuple(max(0.0, p - eps) for p in probs)
+    hi_probs = tuple(min(1.0, p + eps) for p in probs)
+    lo = {round(probs[i], 6): r["q"] for i, r in enumerate(
+        numeric_quantiles(events, ["value"], lo_probs).collect())}
+    hi = {round(probs[i], 6): r["q"] for i, r in enumerate(
+        numeric_quantiles(events, ["value"], hi_probs).collect())}
+    for p in probs:
+        assert lo[p] <= approx[p] <= hi[p], (p, lo[p], approx[p], hi[p])
