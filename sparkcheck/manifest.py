@@ -37,6 +37,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .model import invariant
+
 OUTPUT_DIRS = ("verdicts", "violations", "stats", "hists", "sketches")
 
 
@@ -121,6 +123,119 @@ class CheckpointManifest:
         return sorted(orphans)
 
 
+class ParquetStore:
+    """Checkpoint output store over the parquet directory layout above —
+    the tested default. IcebergStore implements the same contract against
+    lakehouse tables."""
+
+    def __init__(self, base: str) -> None:
+        self.base = base
+        self.manifest = CheckpointManifest(base)
+
+    def write(self, df: DataFrame, name: str, run_id: str) -> None:
+        (df.withColumn("run_id", F.lit(run_id))
+           .write.mode("append").partitionBy("run_id")
+           .parquet(os.path.join(self.base, name)))
+
+    def completed_files_df(self, spark: SparkSession) -> DataFrame | None:
+        return self.manifest.completed_files_df(spark)
+
+    def append_manifest(self, entries: DataFrame) -> None:
+        self.manifest.append_df(entries)
+
+    def manifest_df(self, spark: SparkSession) -> DataFrame | None:
+        return self.manifest._read(spark)
+
+    def reconcile(self, spark: SparkSession) -> list[str]:
+        return self.manifest.reconcile(spark)
+
+
+class IcebergStore:
+    """The same checkpoint contract over Iceberg tables
+    (<namespace>.verdicts / violations / stats / hists / sketches /
+    manifest, each partitioned by run_id).
+
+    Differences from ParquetStore that matter at lakehouse scale:
+    - appends are Iceberg snapshot commits (atomic, readers never see a
+      half-written run);
+    - reconcile() runs against TABLE METADATA — `DELETE ... WHERE run_id NOT
+      IN (manifest)` is a partition-level metadata delete, not an
+      os.listdir filesystem walk (VERDICT r02 item 3).
+
+    Requires the Iceberg runtime jars + a configured catalog; submit with
+        spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-...
+          --conf spark.sql.catalog.<cat>=org.apache.iceberg.spark.SparkCatalog
+          --conf spark.sql.catalog.<cat>.type=hadoop
+          --conf spark.sql.catalog.<cat>.warehouse=<uri>
+    and pass namespace='<cat>.<db>.<prefix>' (tables are created on first
+    write). Exercised by tests/test_iceberg.py when the runtime is present,
+    skipped-with-reason otherwise."""
+
+    def __init__(self, spark: SparkSession, namespace: str) -> None:
+        from .sources.reader import iceberg_available
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "Iceberg runtime not on the classpath — submit with "
+                "--packages org.apache.iceberg:iceberg-spark-runtime and a "
+                "configured catalog, or use ParquetStore")
+        self.spark = spark
+        self.ns = namespace
+
+    def _tbl(self, name: str) -> str:
+        return f"{self.ns}_{name}" if "." not in self.ns \
+            else f"{self.ns}.{name}"
+
+    def _exists(self, name: str) -> bool:
+        return self.spark.catalog.tableExists(self._tbl(name))
+
+    def _ensure(self, name: str, df: DataFrame) -> None:
+        ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                        for f in df.schema.fields)
+        self.spark.sql(f"CREATE TABLE IF NOT EXISTS {self._tbl(name)} "
+                       f"({ddl}) USING iceberg PARTITIONED BY (run_id)")
+
+    def write(self, df: DataFrame, name: str, run_id: str) -> None:
+        df = df.withColumn("run_id", F.lit(run_id))
+        self._ensure(name, df)
+        df.writeTo(self._tbl(name)).append()
+
+    def completed_files_df(self, spark: SparkSession) -> DataFrame | None:
+        if not self._exists("manifest"):
+            return None
+        return (spark.table(self._tbl("manifest"))
+                .filter(F.col("status") == "complete")
+                .select("input_file").distinct())
+
+    def append_manifest(self, entries: DataFrame) -> None:
+        # THE commit point — an atomic Iceberg snapshot commit
+        self._ensure("manifest", entries)
+        entries.writeTo(self._tbl("manifest")).append()
+
+    def manifest_df(self, spark: SparkSession) -> DataFrame | None:
+        return spark.table(self._tbl("manifest")) \
+            if self._exists("manifest") else None
+
+    def reconcile(self, spark: SparkSession) -> list[str]:
+        """Metadata-level orphan cleanup: drop output rows whose run_id never
+        reached the manifest (crash between output append and commit)."""
+        m = self.manifest_df(spark)
+        committed = {r["run_id"] for r in
+                     m.select("run_id").distinct().collect()} if m is not None \
+            else set()
+        orphans: set[str] = set()
+        for name in OUTPUT_DIRS:
+            if not self._exists(name):
+                continue
+            tbl = self._tbl(name)
+            present = {r["run_id"] for r in
+                       spark.table(tbl).select("run_id").distinct().collect()}
+            for rid in sorted(present - committed):
+                # run_id is the partition column → a metadata delete
+                spark.sql(f"DELETE FROM {tbl} WHERE run_id = '{rid}'")
+                orphans.add(rid)
+        return sorted(orphans)
+
+
 def global_distinct(spark: SparkSession, base: str):
     """Global distinct estimates across ALL runs so far: union of the per-run
     mergeable HLL sketches (no double counting on overlapping/partial runs)."""
@@ -150,8 +265,9 @@ def input_files_df(spark: SparkSession, input_glob: str) -> DataFrame:
 
 
 def run_resumable(spark: SparkSession, input_glob: str, build_validator_fn,
-                  base: str, run_id: str | None = None,
-                  key_col: str = "url", sketch_cols: list[str] | None = None):
+                  base: str | None = None, run_id: str | None = None,
+                  key_col: str = "url", sketch_cols: list[str] | None = None,
+                  store=None):
     """Validate only not-yet-completed input files; append outputs, then
     commit via the manifest.
 
@@ -159,15 +275,21 @@ def run_resumable(spark: SparkSession, input_glob: str, build_validator_fn,
     — the caller derives the actual validation input from the raw file scan
     (e.g. documents → pages).
 
+    Outputs go through `store` (default ParquetStore(base); pass
+    IcebergStore(spark, namespace) on a lakehouse — same commit protocol,
+    Iceberg snapshot commits + metadata-level reconcile).
+
     Returns (run_id, n_files_processed, ValidationResult | None).
     """
     run_id = run_id or f"run-{int(time.time() * 1000)}"
-    manifest = CheckpointManifest(base)
-    manifest.reconcile(spark)  # drop uncommitted leftovers before reprocessing
+    if store is None:
+        invariant(base is not None, "run_resumable needs base or store")
+        store = ParquetStore(base)
+    store.reconcile(spark)  # drop uncommitted leftovers before reprocessing
 
     raw = spark.read.parquet(input_glob) \
         .withColumn("_input_file", _norm_uri(F.input_file_name()))
-    done = manifest.completed_files_df(spark)
+    done = store.completed_files_df(spark)
     # pending FILE list from the (distributed) lister — includes zero-row
     # files, which produce no rows and would otherwise never commit and be
     # re-planned on every resume (ADVICE r02)
@@ -194,7 +316,7 @@ def run_resumable(spark: SparkSession, input_glob: str, build_validator_fn,
                            F.lit(0.0).alias("wall_sec")))
         n = empties.count()
         if n:
-            manifest.append_df(empties)
+            store.append_manifest(empties)
         return n
 
     if pending.limit(1).isEmpty():
@@ -204,25 +326,15 @@ def run_resumable(spark: SparkSession, input_glob: str, build_validator_fn,
     validator, df = build_validator_fn(spark, pending)
     result = validator.validate(df)
 
-    (result.verdicts.withColumn("run_id", F.lit(run_id))
-       .write.mode("append").partitionBy("run_id")
-       .parquet(os.path.join(base, "verdicts")))
-    (result.violations.withColumn("run_id", F.lit(run_id))
-       .write.mode("append").partitionBy("run_id")
-       .parquet(os.path.join(base, "violations")))
+    store.write(result.verdicts, "verdicts", run_id)
+    store.write(result.violations, "violations", run_id)
     if result.stats is not None:
-        (result.stats.withColumn("run_id", F.lit(run_id))
-           .write.mode("append").partitionBy("run_id")
-           .parquet(os.path.join(base, "stats")))
+        store.write(result.stats, "stats", run_id)
     if result.hists is not None:
-        (result.hists.withColumn("run_id", F.lit(run_id))
-           .write.mode("append").partitionBy("run_id")
-           .parquet(os.path.join(base, "hists")))
+        store.write(result.hists, "hists", run_id)
     if sketch_cols:
         from .operators.stats import column_sketches
-        (column_sketches(df, sketch_cols).withColumn("run_id", F.lit(run_id))
-           .write.mode("append").partitionBy("run_id")
-           .parquet(os.path.join(base, "sketches")))
+        store.write(column_sketches(df, sketch_cols), "sketches", run_id)
     wall = time.perf_counter() - t0
 
     # per-file lineage metrics from the (persisted) annotated frame — built
@@ -245,8 +357,8 @@ def run_resumable(spark: SparkSession, input_glob: str, build_validator_fn,
                        .alias("failed_rows"),
                        F.lit("complete").alias("status"),
                        F.lit(round(wall, 3)).alias("wall_sec")))
-    manifest.append_df(entries)  # commit point
-    n_files = (spark.read.parquet(manifest.dir)
+    store.append_manifest(entries)  # commit point
+    n_files = (store.manifest_df(spark)
                .filter(F.col("run_id") == run_id)
                .select("input_file").distinct().count())
     result.unpersist()

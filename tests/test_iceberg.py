@@ -50,3 +50,56 @@ def test_iceberg_read_smoke(spark, tmp_path):
     src.writeTo(table).using("iceberg").createOrReplace()
     got = read_pages_table(spark, table, fmt="iceberg")
     assert got.count() == src.count()
+
+
+def test_iceberg_store_requires_runtime(spark):
+    from sparkcheck.manifest import IcebergStore
+    if iceberg_available(spark):
+        pytest.skip("Iceberg runtime present — error-path test not applicable")
+    with pytest.raises(RuntimeError, match="Iceberg runtime not on the "
+                                           "classpath"):
+        IcebergStore(spark, "crawl.db.ckpt")
+
+
+def test_iceberg_store_roundtrip(spark, tmp_path):
+    """write → resume → reconcile over Iceberg tables, mirroring
+    test_manifest_resume — runs only with the runtime jars + a catalog."""
+    if not iceberg_available(spark):
+        pytest.skip("Iceberg runtime jars not on the classpath in this "
+                    "sandbox (add --packages org.apache.iceberg:"
+                    "iceberg-spark-runtime + --conf spark.sql.catalog.* "
+                    "to enable)")
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparkcheck import FieldConstraint, build_validator
+    from sparkcheck.manifest import IcebergStore, run_resumable
+
+    src = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    inp = str(tmp_path / "docs")
+    src.repartition(3).write.parquet(inp)
+
+    def builder_fn(spark, pending):
+        v = (build_validator()
+             .input(constraints=[FieldConstraint(
+                 "doc_id", "doc_id IS NOT NULL", "id required")],
+                 key_col="doc_id")
+             .provide())
+        return v, pending
+
+    store = IcebergStore(spark, "crawl.db.ckpt")
+    _, n1, _ = run_resumable(spark, inp, builder_fn, store=store,
+                             run_id="r1")
+    assert n1 == 3
+    # resume: nothing pending
+    _, n2, res2 = run_resumable(spark, inp, builder_fn, store=store,
+                                run_id="r2")
+    assert n2 == 0 and res2 is None
+    # orphan: write an output run with no manifest entry, reconcile drops it
+    store.write(spark.table(store._tbl("verdicts")).drop("run_id").limit(1),
+                "verdicts", "orphan-run")
+    assert store.reconcile(spark) == ["orphan-run"]
+    left = (spark.table(store._tbl("verdicts"))
+            .filter(F.col("run_id") == "orphan-run").count())
+    assert left == 0
