@@ -56,8 +56,30 @@ class RefRule:
     anti: bool
 
 
+@dataclass(frozen=True)
+class UniqRule:
+    """Dataset-level uniqueness (C3 in miniature): fails rows whose non-NULL
+    value duplicates among the rows still alive when the rule runs (the
+    engine's frontier semantics, SURVEY.md §7 hard part a)."""
+
+    col: str
+
+
+@dataclass(frozen=True)
+class EnRule:
+    """Enrichment fetch (C7 in miniature): required miss → violation."""
+
+    col: str
+    dim: tuple[int, ...]
+    required: bool
+
+
 def eval_rule_py(rule, i: int, r: dict):
     """One rule's emissions under the reference loop semantics."""
+    if isinstance(rule, EnRule):
+        v = r[rule.col]
+        hit = v is not None and v in rule.dim
+        return [(f"en{i}", f"enr{i}")] if (rule.required and not hit) else []
     if isinstance(rule, RefRule):
         v = r[rule.col]
         hit = v is not None and v in rule.dim
@@ -72,30 +94,52 @@ def eval_rule_py(rule, i: int, r: dict):
 
 
 def interpret(rows, constraints, rules):
-    """Direct Python restatement of the reference's validate():
-    returns per-row (success, step, rule_idx, [(key, message), ...])."""
-    out = []
-    for rid, row in enumerate(rows):
-        r = dict(zip(["rowid"] + COLS, row))
+    """Direct Python restatement of the reference's validate() extended with
+    dataset-level frontier semantics: per-row rules run sequentially with
+    fail-fast; a UniqRule counts values over the rows still ALIVE when it
+    runs (rows failed by any earlier stage don't contribute), exactly the
+    engine's frontier. Returns per-row (success, step, rule_idx,
+    [(key, message), ...])."""
+    from collections import Counter
+
+    rws = [dict(zip(["rowid"] + COLS, row)) for row in rows]
+    state: dict = {}
+    alive = []
+    for r in rws:
         issues = []
         for c in constraints:  # schema: every failing issue reported
             ok = eval_py(c, r)
             if ok is not True:
                 issues.append((c.key, f"schema:{c.col}{c.op}{c.lit}"))
         if issues:
-            out.append((r["rowid"], False, "schema", -1, tuple(issues)))
+            state[r["rowid"]] = (False, "schema", -1, tuple(issues))
+        else:
+            alive.append(r)
+    for i, rule in enumerate(rules):
+        if isinstance(rule, UniqRule):
+            cnt = Counter(r[rule.col] for r in alive
+                          if r[rule.col] is not None)
+            still = []
+            for r in alive:
+                v = r[rule.col]
+                if v is not None and cnt[v] > 1:
+                    state[r["rowid"]] = (False, "rules", i,
+                                         ((rule.col, f"uniq{i}"),))
+                else:
+                    still.append(r)
+            alive = still
             continue
-        failed = None
-        for i, rule in enumerate(rules):
+        still = []
+        for r in alive:
             emissions = eval_rule_py(rule, i, r)
             if emissions:  # bag.hasErrors() after the rule → stop
-                failed = (i, tuple(emissions))
-                break
-        if failed is None:
-            out.append((r["rowid"], True, None, None, ()))
-        else:
-            out.append((r["rowid"], False, "rules", failed[0], failed[1]))
-    return sorted(out)
+                state[r["rowid"]] = (False, "rules", i, tuple(emissions))
+            else:
+                still.append(r)
+        alive = still
+    for r in alive:
+        state[r["rowid"]] = (True, None, None, ())
+    return sorted((rid,) + v for rid, v in state.items())
 
 
 check_st = st.builds(
@@ -116,7 +160,16 @@ ref_rule_st = st.builds(
     dim=st.sets(st.integers(-3, 3), min_size=1, max_size=4).map(tuple),
     anti=st.booleans())
 
-rule_st = st.one_of(st.lists(check_st, min_size=1, max_size=2), ref_rule_st)
+uniq_rule_st = st.builds(UniqRule, col=st.sampled_from(COLS))
+
+enrich_rule_st = st.builds(
+    EnRule,
+    col=st.sampled_from(COLS),
+    dim=st.sets(st.integers(-3, 3), min_size=1, max_size=4).map(tuple),
+    required=st.booleans())
+
+rule_st = st.one_of(st.lists(check_st, min_size=1, max_size=2), ref_rule_st,
+                    uniq_rule_st, enrich_rule_st)
 
 
 @settings(max_examples=12, deadline=None,
@@ -126,6 +179,10 @@ rule_st = st.one_of(st.lists(check_st, min_size=1, max_size=2), ref_rule_st)
            lambda c: SimpleCheck(c.col, c.op, c.lit, c.col)), max_size=2),
        rules=st.lists(rule_st, max_size=3))
 def test_engine_equals_naive_interpreter(spark, rows, constraints, rules):
+    _assert_engine_equals_interpreter(spark, rows, constraints, rules)
+
+
+def _assert_engine_equals_interpreter(spark, rows, constraints, rules):
     from sparkcheck.model import ReferentialRule
     data = [(i,) + r for i, r in enumerate(rows)]
     df = spark.createDataFrame(data, "rowid int, a int, b int, c int")
@@ -135,7 +192,17 @@ def test_engine_equals_naive_interpreter(spark, rows, constraints, rules):
         for c in constraints], key_col="rowid")
     deps = {}
     for i, rule in enumerate(rules):
-        if isinstance(rule, RefRule):
+        if isinstance(rule, UniqRule):
+            v = v.unique(rule.col, id=f"rule-{i}", message=f"uniq{i}")
+        elif isinstance(rule, EnRule):
+            dim_name = f"edim{i}"
+            deps[dim_name] = spark.createDataFrame(
+                [(x, x * 10) for x in rule.dim], "k int, ctx int")
+            v = v.enrich(id=f"rule-{i}", dim=dim_name, on=rule.col,
+                         dim_key="k", adds=["ctx"], prefix=f"e{i}_",
+                         required=rule.required, message=f"enr{i}",
+                         key=f"en{i}")
+        elif isinstance(rule, RefRule):
             dim_name = f"dim{i}"
             deps[dim_name] = spark.createDataFrame(
                 [(x,) for x in rule.dim], "k int")
@@ -164,3 +231,24 @@ def test_engine_equals_naive_interpreter(spark, rows, constraints, rules):
         got.append((rid, bool(r["success"]), r["step"], idx, em))
     expected = interpret(data, constraints, rules)
     assert sorted(got) == expected
+
+
+def test_unique_counts_over_frontier_not_raw_rows(spark):
+    """Deterministic regression for SURVEY §7 hard part a: a value shared by
+    two rows is NOT a duplicate when one of the rows already failed an
+    earlier rule — the unique count runs over the frontier only."""
+    rows = [(1, 0, 0), (1, None, 0)]  # a duplicates; row 1 fails b not_null
+    rules = [[SimpleCheck("b", "not_null", 0, "b")], UniqRule("a")]
+    _assert_engine_equals_interpreter(spark, rows, [], rules)
+    # and the interpreter itself says what we think it says
+    out = interpret([(i,) + r for i, r in enumerate(rows)], [], rules)
+    assert out == [(0, True, None, None, ()),
+                   (1, False, "rules", 0, (("b", "r0c0"),))]
+
+
+def test_enrich_required_miss_fails_optional_does_not(spark):
+    rows = [(2, 0, 0), (-3, 0, 0)]
+    _assert_engine_equals_interpreter(
+        spark, rows, [], [EnRule("a", (2,), True)])
+    _assert_engine_equals_interpreter(
+        spark, rows, [], [EnRule("a", (2,), False)])

@@ -138,3 +138,55 @@ def test_stateful_unique_across_micro_batches(spark, tmp_path):
     assert ("https://c", 1, False) in rows
     assert ("https://b", 1, False) in rows    # untouched key not re-emitted twice
     assert len(rows) == 4
+
+
+def test_stateful_unique_soak_across_restarts(spark, tmp_path):
+    """VERDICT r02 item 10 — streaming soak: four micro-batches, each drained
+    by a SEPARATE availableNow query restarted from the same checkpoint
+    (stop → restart, state-store recovery), with per-restart assertions that
+    the per-key running totals keep accumulating across every restart."""
+    from sparkcheck.streaming import stateful_unique_stream
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        stream = (spark.readStream.schema("url string, rid bigint")
+                  .parquet(in_dir))
+        q = (stateful_unique_stream(stream, "url").writeStream
+             .foreachBatch(
+                 lambda b, _bid: b.write.mode("append").parquet(out_dir))
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        q.stop()
+
+    def totals():
+        rows = spark.read.parquet(out_dir).collect()
+        out: dict[str, tuple[int, bool]] = {}
+        for r in rows:
+            if r["key"] not in out or r["total_seen"] > out[r["key"]][0]:
+                out[r["key"]] = (r["total_seen"], r["is_duplicate"])
+        return out
+
+    batches = [
+        [("https://a", 1), ("https://b", 2)],
+        [("https://a", 3), ("https://c", 4)],
+        [("https://a", 5), ("https://b", 6), ("https://d", 7)],
+        [("https://d", 8)],
+    ]
+    expected = [
+        {"https://a": (1, False), "https://b": (1, False)},
+        {"https://a": (2, True), "https://b": (1, False),
+         "https://c": (1, False)},
+        {"https://a": (3, True), "https://b": (2, True),
+         "https://c": (1, False), "https://d": (1, False)},
+        {"https://a": (3, True), "https://b": (2, True),
+         "https://c": (1, False), "https://d": (2, True)},
+    ]
+    for batch, want in zip(batches, expected):
+        spark.createDataFrame(batch, "url string, rid bigint") \
+            .coalesce(1).write.mode("append").parquet(in_dir)
+        run_once()
+        assert totals() == want
