@@ -38,8 +38,11 @@ def parse_size_bytes(v) -> int:
 # gate's driver-side collect to threshold/32 rows
 PER_ROW_OVERHEAD = 32
 # hard cap on the gate's driver-side probe regardless of the configured
-# broadcast threshold (2M keys ≈ the most a sane broadcast would ship anyway)
-MAX_PROBE_ROWS = 2_000_000
+# broadcast threshold: bounds the wasted collect when the dup list turns out
+# big (mass duplication) to ~500k keys ≈ 30MB. Lists between this and the
+# byte threshold take the shuffled-join path — safe, marginally slower than
+# a broadcast would be, and rare (web dup lists are either tiny or enormous)
+MAX_PROBE_ROWS = 500_000
 
 
 def gate_broadcast(small: DataFrame, key_col: str,
