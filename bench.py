@@ -93,11 +93,20 @@ def main() -> None:
 
     timed("full_suite", full_suite)
     if os.environ.get("SPARKCHECK_BENCH_ONLY") == "full_suite":
-        # scaling protocol times the headline job only
+        # scaling protocol times the headline job only; SPARKCHECK_BENCH_INNER
+        # amortizes the (full-size) warmup across several timed runs in one
+        # process — the scaling harness aggregates with best-of across all
+        # inner runs of all subprocesses
+        runs = [timings["full_suite"]]
+        for _ in range(int(os.environ.get("SPARKCHECK_BENCH_INNER", "1")) - 1):
+            timed("full_suite", full_suite)
+            runs.append(timings["full_suite"])
+        timings["full_suite"] = min(runs)
         docs_per_sec = round(n_rows / timings["full_suite"], 1)
         print(json.dumps({
             "metric": "validated_docs_per_sec_full_suite",
             "value": docs_per_sec, "unit": "docs/sec", "queries": timings,
+            "full_suite_runs": runs,
             "sf": sf_dir.rstrip("/").split("/")[-1], "rows": n_rows,
             "cores": cpus, "replicas": replicas}))
         return

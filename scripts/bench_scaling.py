@@ -50,11 +50,13 @@ def cpu_control(levels: tuple[int, int], n: int = 2_000_000) -> dict:
     return out
 
 
-def run_once(cores: int, replicas: int, sf_dir: str, use_submit: bool) -> dict:
+def run_once(cores: int, replicas: int, sf_dir: str, use_submit: bool,
+             inner: int = 1) -> dict:
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=sf_dir,
                SPARK_GRAFT_CPUS=str(cores),
                SPARKCHECK_BENCH_REPLICAS=str(replicas),
+               SPARKCHECK_BENCH_INNER=str(inner),
                SPARKCHECK_BENCH_ONLY="full_suite")
     if use_submit:
         subprocess.run(["sh", os.path.join(REPO, "scripts/package.sh")],
@@ -70,19 +72,23 @@ def run_once(cores: int, replicas: int, sf_dir: str, use_submit: bool) -> dict:
     return json.loads(line)
 
 
-def measure(levels, reps, replicas, sf_dir, use_submit):
+def measure(levels, reps, replicas, sf_dir, use_submit, inner=1):
     """Interleave the two levels (A,B,A,B,…) and aggregate with MIN — the
     sandbox host shows multi-minute bursts of external contention, so
     back-to-back medians of one level are not comparable; the best-of series
-    estimates the uncontended wall time of each level."""
+    estimates the uncontended wall time of each level. `inner` timed runs
+    per subprocess amortize the full-size warmup run (JIT) across samples."""
     runs: dict[int, list[float]] = {c: [] for c in levels}
     rows = None
     for _ in range(reps):
         for cores in levels:
-            r = run_once(cores, replicas, sf_dir, use_submit)
-            runs[cores].append(r["queries"]["full_suite"])
+            r = run_once(cores, replicas, sf_dir, use_submit, inner)
+            runs[cores].extend(
+                r.get("full_suite_runs", [r["queries"]["full_suite"]]))
             rows = r["rows"]
-            print(f"  local[{cores}]: {runs[cores][-1]:.1f}s", flush=True)
+            print(f"  local[{cores}]: "
+                  f"{r.get('full_suite_runs', [r['queries']['full_suite']])}",
+                  flush=True)
     results = {}
     for cores in levels:
         best = min(runs[cores])
@@ -109,6 +115,8 @@ def main() -> int:
     ap.add_argument("--levels", type=int, nargs=2, default=(2, 8))
     ap.add_argument("--extra-levels", type=int, nargs=2, default=(8, 32))
     ap.add_argument("--spark-submit", action="store_true")
+    ap.add_argument("--inner", type=int, default=1,
+                    help="timed runs per subprocess (warmup amortized)")
     args = ap.parse_args()
 
     lo, hi = args.levels
@@ -119,9 +127,9 @@ def main() -> int:
           f"{ctl_extra['ceiling']:.2f}", flush=True)
 
     primary = measure((lo, hi), args.reps, args.replicas, args.sf_dir,
-                      args.spark_submit)
+                      args.spark_submit, args.inner)
     extra = measure(tuple(args.extra_levels), max(1, args.reps - 1),
-                    args.replicas, args.sf_dir, args.spark_submit)
+                    args.replicas, args.sf_dir, args.spark_submit, args.inner)
 
     eff = (primary[lo]["median_sec"] / primary[hi]["median_sec"]) / (hi / lo)
     xl, xh = args.extra_levels
@@ -136,8 +144,9 @@ rules, ISO-639 broadcast referential, temporal window, pandas-UDF extraction
 byte-identity, salted unique-url, column stats, KL drift), same input
 ({args.sf_dir} documents.parquet ×{args.replicas} deterministic replicas =
 {rows:,} pages), two parallelism levels N and 4N interleaved (A,B,A,B,…),
-best-of-{args.reps} per level (robust to the sandbox's bursty external
-contention),
+best-of-{args.reps * args.inner} per level ({args.reps} subprocesses ×
+{args.inner} timed runs each, full-size warmup amortized; robust to the
+sandbox's bursty external contention),
 SparkSession startup and warmup excluded, AQE on, shuffle partitions
 proportional to cores. Runner: {'spark-submit --py-files dist/sparkcheck.zip'
  if args.spark_submit else 'python bench.py'}.
