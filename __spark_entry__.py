@@ -316,6 +316,33 @@ def q_embedding_near_dups(spark, sf_dir):
     return similarity.embedding_near_dups(emb, threshold=0.4, bits=bits)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (the coarse-quantizer companion to LSH): hash-sampled
+    centroids, 4dp-cosine assignment with min-cid tie-break, nprobe=2 cells
+    probed per query. Cell count derived from the corpus via the
+    auto_centroids ladder (C ≈ √N — the oracle computes the identical
+    integer ladder over count(*)), not pinned."""
+    return similarity.ivf_topk(_emb(spark, sf_dir), [0, 1, 2, 3, 4], k=10,
+                               n_centroids=None, nprobe=2)
+
+
+def q_hot_url_hosts(spark, sf_dir):
+    """Heavy-hitter skew diagnostic over the pages url host (the synthetic
+    crawl injects ~20% hot.example traffic) — the evidence that motivates
+    salt_buckets in the salted unique aggregate."""
+    from sparkcheck.operators.skew import heavy_hitters
+    host = F.regexp_extract(F.col("url"), oracle.HOST_RE, 1)
+    return heavy_hitters(_pages(spark, sf_dir), host, k=20, key_name="host")
+
+
+def q_url_host_skew_stats(spark, sf_dir):
+    """One-row key-distribution summary (n_keys, max/mean count, skew
+    ratio) — drives the salt_buckets choice."""
+    from sparkcheck.operators.skew import skew_stats
+    host = F.regexp_extract(F.col("url"), oracle.HOST_RE, 1)
+    return skew_stats(_pages(spark, sf_dir), host, key_name="host")
+
+
 # --- rows-only (engine-specific by nature; pytest-verified) ------------------
 
 
@@ -362,6 +389,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "media_features": q_media_features,
         "embedding_near_dups": q_embedding_near_dups,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "hot_url_hosts": q_hot_url_hosts,
+        "url_host_skew_stats": q_url_host_skew_stats,
         # rows-only check (keyed by spark_partition_id — engine-specific by
         # nature, no SQL-expressible oracle; pytest-verified)
         "partition_stats": q_partition_stats,
@@ -404,4 +434,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": oracle.ann_lsh_topk(),
         "media_features": oracle.media_features(),
         "embedding_near_dups": oracle.embedding_near_dups(),
+        "ann_ivf_topk": oracle.ann_ivf_topk(),
+        "hot_url_hosts": oracle.hot_url_hosts(),
+        "url_host_skew_stats": oracle.url_host_skew_stats(),
     }

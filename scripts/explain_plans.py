@@ -116,6 +116,29 @@ def main() -> None:
         "bucket signature entirely in codegen (no Python); query side "
         "broadcast (bounded by the user's query list)"))
 
+    # IVF ANN
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    ivf = similarity.ivf_topk(emb, [0, 1], k=5, n_centroids=8, nprobe=2)
+    ivf.collect()
+    out.append(summarize(
+        "IVF ANN top-k (hash-sampled centroids)", plan_of(ivf),
+        "assignment is a broadcast crossJoin + map-side-combining argmax "
+        "(N rows reach the shuffle, never N×C); probe rows broadcast; "
+        "per-query top-k window over ~N·nprobe/C candidates"))
+
+    # skew diagnostics
+    from sparkcheck.operators.skew import heavy_hitters
+    hh = heavy_hitters(docs.sparkSession.read.parquet(
+        f"{SF}/documents.parquet"),
+        F.regexp_extract(F.col("url"), r"https?://([^/]+)", 1),
+        k=10, key_name="host")
+    hh.collect()
+    out.append(summarize(
+        "heavy hitters (url host)", plan_of(hh),
+        "one map-side-combining count pass; grand total is an O(keys) "
+        "re-aggregate broadcast back; TakeOrderedAndProject keeps k rows — "
+        "no full sort, no collect"))
+
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print("wrote BENCH/PLANS.md")

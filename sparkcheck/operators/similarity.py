@@ -45,8 +45,7 @@ def cosine_scores(emb: DataFrame, query_ids: list[int],
                     F.col(vec_col).alias("qvec")))
     return (emb.crossJoin(F.broadcast(q))
                .select("query_id", F.col(id_col).alias("vec_id"),
-                       (F.floor(cosine(F.col("qvec"), F.col(vec_col)) * 10000 + F.lit(0.5)) / 10000.0)
-                       .alias("score")))
+                       cosine4(F.col("qvec"), F.col(vec_col)).alias("score")))
 
 
 def brute_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
@@ -166,6 +165,29 @@ def auto_bits_sql(count_expr: str, target_bucket_size: int = 128,
     return f"(CASE {cases} ELSE {hi} END)"
 
 
+def auto_centroids(n_rows: int, lo: int = 4, hi: int = 4096) -> int:
+    """IVF cell count sized to the corpus: the smallest power-of-two C with
+    C² ≥ N, i.e. C ≈ √N — balances the build cost (N×C assignment scores)
+    against the search cost (~N/C candidates per probed cell). Integer
+    ladder (like auto_bits) so auto_centroids_sql decides identically in
+    any engine. 10^12 rows → C = 1,048,576 capped at `hi` (at that scale
+    raise `hi` and switch assignment to ivf_assign_udf)."""
+    c = lo
+    while c < hi and c * c < n_rows:
+        c *= 2
+    return c
+
+
+def auto_centroids_sql(count_expr: str, lo: int = 4, hi: int = 4096) -> str:
+    """The auto_centroids ladder as portable SQL over a row-count expr."""
+    cases = []
+    c = lo
+    while c < hi:
+        cases.append(f"WHEN {count_expr} <= {c * c} THEN {c}")
+        c *= 2
+    return f"(CASE {' '.join(cases)} ELSE {hi} END)"
+
+
 def lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              dim: int = 64, bits: int = 8, seed: int = 7, tables: int = 1,
@@ -197,9 +219,123 @@ def lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     # distinct collapses it (same floats both sides of the oracle compare)
     scored = (cand.filter(F.col(id_col) != F.col("query_id"))
                   .select("query_id", F.col(id_col).alias("vec_id"),
-                          (F.floor(cosine(F.col("qvec"), F.col(vec_col)) * 10000 + F.lit(0.5)) / 10000.0)
-                          .alias("score"))
+                          cosine4(F.col("qvec"), F.col(vec_col)).alias("score"))
                   .distinct())
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k))
+
+
+def cosine4(a, b):
+    """4dp-floored cosine — the cross-engine-stable score used by every
+    oracled similarity query (floor(x*1e4+0.5)/1e4, never round())."""
+    return F.floor(cosine(a, b) * 10000 + F.lit(0.5)) / 10000.0
+
+
+def ivf_centroids(emb: DataFrame, n_centroids: int,
+                  id_col: str = "vec_id", vec_col: str = "embedding") \
+        -> DataFrame:
+    """Deterministic IVF coarse quantizer WITHOUT an iterative k-means pass:
+    the `n_centroids` corpus rows whose md5(id) sorts smallest (hash-based
+    uniform sample — engine-independent, so DuckDB reproduces the identical
+    centroid set). orderBy+limit compiles to TakeOrderedAndProject: each
+    partition keeps its local top-C (id-hash, id) pairs, the driver merges —
+    one O(N) scan, no full sort, no shuffle."""
+    h = F.md5(F.col(id_col).cast("string"))
+    return (emb.select(F.col(id_col).alias("cid"),
+                       F.col(vec_col).alias("cvec"), h.alias("_h"))
+               .orderBy("_h", "cid").limit(n_centroids).drop("_h"))
+
+
+def ivf_assign(emb: DataFrame, cent: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding") \
+        -> DataFrame:
+    """Assign every vector to its nearest centroid by 4dp cosine (ties → the
+    smallest cid, so both engines agree even when rounding collides):
+    (id_col, vec_col, cid).
+
+    Plan shape: crossJoin(broadcast(centroids)) keeps assignment in the scan
+    stage; the argmax is a map-side-combining groupBy(id) over max(struct
+    (score, -cid)) — only N rows reach the shuffle, never N×C. first(vec) is
+    value-deterministic: the group key is the row id, every member carries
+    the same vector."""
+    scored = (emb.crossJoin(F.broadcast(cent))
+                 .select(F.col(id_col), F.col(vec_col), F.col("cid"),
+                         cosine4(F.col(vec_col), F.col("cvec"))
+                         .alias("_s")))
+    return (scored.groupBy(id_col)
+                  .agg(F.max(F.struct(F.col("_s"),
+                                      (-F.col("cid")).alias("_nc")))
+                         .alias("_m"),
+                       F.first(vec_col).alias(vec_col))
+                  .select(F.col(id_col), F.col(vec_col),
+                          (-F.col("_m._nc")).alias("cid")))
+
+
+def ivf_assign_udf(emb: DataFrame, cent: DataFrame,
+                   id_col: str = "vec_id", vec_col: str = "embedding") \
+        -> DataFrame:
+    """The Arrow scale path for assignment: collect the (small) centroid set
+    once and argmax a whole batch with one (batch×dim)·(dim×C) matmul — at
+    C=4096/dim=768 the SQL-expr variant would emit 4096 fold expressions,
+    this stays one BLAS call per Arrow batch. Scores are rounded to the same
+    4dp grid before the argmax (ties → smallest cid), so the result is
+    asserted identical to ivf_assign in pytest."""
+    rows = sorted(cent.collect(), key=lambda r: r["cid"])
+    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    cmat = np.stack([np.asarray(r["cvec"], dtype=np.float64) for r in rows])
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+
+    @pandas_udf(LongType())
+    def nearest(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        sims = (m @ cmat.T) / (np.sqrt((m * m).sum(axis=1))[:, None]
+                               * cnorm[None, :])
+        sims = np.floor(sims * 10000 + 0.5) / 10000.0
+        # argmax returns the FIRST max index; cids sorted asc → smallest cid
+        return pd.Series(cids[np.argmax(sims, axis=1)])
+    return emb.select(F.col(id_col), F.col(vec_col),
+                      nearest(F.col(vec_col)).alias("cid"))
+
+
+def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
+             n_centroids: int | None = None, nprobe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             use_udf: bool = False) -> DataFrame:
+    """IVF approximate top-k (the coarse-quantizer companion to lsh_topk —
+    the build brief names 'an IVF or LSH-bucketed variant as the scale
+    path'): rank centroids per query, score only vectors assigned to the
+    `nprobe` nearest cells. (query_id, vec_id, score, rank).
+
+    Scale: build = one broadcast-crossJoin pass (N×C scores, N rows
+    shuffled); search = candidates join on cid against a broadcast of
+    Q×nprobe probe rows, then a per-query top-k window over ~N·nprobe/C
+    candidates. Raising n_centroids with √N keeps both sides balanced."""
+    from pyspark.sql import Window
+
+    if n_centroids is None:
+        n_centroids = auto_centroids(emb.count())
+    cent = ivf_centroids(emb, n_centroids, id_col, vec_col)
+    assign = ivf_assign_udf if use_udf else ivf_assign
+    assigned = assign(emb, cent, id_col, vec_col)
+
+    qw = Window.partitionBy("query_id").orderBy(F.desc("_s"), F.asc("cid"))
+    qc = (emb.filter(F.col(id_col).isin(query_ids))
+             .select(F.col(id_col).alias("query_id"),
+                     F.col(vec_col).alias("qvec"))
+             .crossJoin(F.broadcast(cent))
+             .select("query_id", "qvec", "cid",
+                     cosine4(F.col("qvec"), F.col("cvec")).alias("_s"))
+             .withColumn("_rn", F.row_number().over(qw))
+             .filter(F.col("_rn") <= nprobe)
+             .select("query_id", "qvec", "cid"))
+
+    scored = (assigned.join(F.broadcast(qc), "cid")
+                      .filter(F.col(id_col) != F.col("query_id"))
+                      .select("query_id", F.col(id_col).alias("vec_id"),
+                              cosine4(F.col("qvec"), F.col(vec_col))
+                              .alias("score")))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"),
                                                F.asc("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -228,6 +364,5 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
                       "_bkt")
     pairs = (a.join(b, "_bkt").filter(F.col("id_a") < F.col("id_b"))
               .select("id_a", "id_b",
-                      (F.floor(cosine(F.col("va"), F.col("vb")) * 10000 + F.lit(0.5)) / 10000.0)
-                      .alias("score")))
+                      cosine4(F.col("va"), F.col("vb")).alias("score")))
     return pairs.filter(F.col("score") >= threshold)

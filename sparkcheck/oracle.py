@@ -420,6 +420,84 @@ pairs AS (
 SELECT id_a, id_b, score FROM pairs WHERE score >= {threshold}"""
 
 
+def ann_ivf_topk(query_ids=(0, 1, 2, 3, 4), k: int = 10,
+                 nprobe: int = 2) -> str:
+    """IVF ANN oracle (operators/similarity.ivf_topk): identical hash-sampled
+    centroid set (md5(id) order — engine-independent), identical 4dp-floored
+    assignment with min-cid tie-break (the engine's groupBy max(struct(score,
+    -cid)) ≡ this window's ORDER BY score DESC, cid rn=1), nprobe nearest
+    cells per query, then scoring + ranking as in brute. The cell count
+    derives from count(*) via the shared auto_centroids ladder — no pinned
+    demo constant."""
+    from sparkcheck.operators.similarity import auto_centroids_sql
+    ids = ", ".join(str(i) for i in query_ids)
+    c_sql = auto_centroids_sql("(SELECT count(*) FROM embeddings)")
+    assign_cos = _cos_sql("e.embedding", "c.cvec", "e.embedding")
+    score_cos = _cos_sql("q.qv", "a.embedding", "a.embedding")
+    return f"""
+WITH centr AS (
+  SELECT vec_id AS cid, embedding AS cvec,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           AS rn
+  FROM embeddings),
+cent AS (SELECT cid, cvec FROM centr WHERE rn <= {c_sql}),
+ac AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {assign_cos} DESC, c.cid) AS rn
+  FROM embeddings e CROSS JOIN cent c),
+assigned AS (SELECT vec_id, embedding, cid FROM ac WHERE rn = 1),
+qr AS (
+  SELECT e.vec_id AS query_id, e.embedding AS qv, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {assign_cos} DESC, c.cid) AS rn
+  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id IN ({ids})),
+qc AS (SELECT query_id, qv, cid FROM qr WHERE rn <= {nprobe}),
+scored AS (
+  SELECT q.query_id, a.vec_id, {score_cos} AS score
+  FROM assigned a JOIN qc q ON a.cid = q.cid
+  WHERE a.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, vec_id) AS INT) AS rank
+  FROM scored)
+SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {k}"""
+
+
+HOST_RE = "https?://([^/]+)"
+
+
+def hot_url_hosts(k: int = 20) -> str:
+    """Heavy-hitter oracle (operators/skew.heavy_hitters over the url host
+    of the pages table — the synthetic crawl injects ~20% hot.example skew):
+    regexp_extract group 1 returns '' on no match in BOTH engines (the
+    'notaurl:' rows form their own reported group); counts desc, host asc,
+    4dp-floored corpus share."""
+    return f"""
+WITH pages AS ({pages_cte('duckdb', REPLICAS)}),
+c AS (SELECT regexp_extract(url, '{HOST_RE}', 1) AS host,
+             count(*) AS cnt
+      FROM pages GROUP BY 1),
+t AS (SELECT SUM(cnt) AS total FROM c)
+SELECT host, cnt, FLOOR(cnt / total * 10000 + 0.5) / 10000.0 AS share
+FROM c, t ORDER BY cnt DESC, host LIMIT {k}"""
+
+
+def url_host_skew_stats() -> str:
+    """skew.skew_stats oracle: one-row key-distribution summary."""
+    return f"""
+WITH pages AS ({pages_cte('duckdb', REPLICAS)}),
+c AS (SELECT regexp_extract(url, '{HOST_RE}', 1) AS host,
+             count(*) AS cnt
+      FROM pages GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       MAX(cnt) AS max_cnt,
+       FLOOR(AVG(cnt) * 10000 + 0.5) / 10000.0 AS mean_cnt,
+       FLOOR(MAX(cnt) / AVG(cnt) * 10000 + 0.5) / 10000.0 AS skew_ratio
+FROM c"""
+
+
 def media_features() -> str:
     """Recomputes fake_decoder exactly in SQL (hash-derived integer features,
     see operators/multimodal.fake_decoder) and the engine-side feat_hash

@@ -226,3 +226,78 @@ def test_rolling_fingerprint_order_sensitive(spark):
     setfp = {r["doc_id"]: r["fp"] for r in fingerprint(df).collect()}
     assert roll[1] == roll[3] != roll[2]
     assert setfp[1] == setfp[2] == setfp[3]
+
+
+# --- IVF ANN (coarse-quantizer companion to LSH) -----------------------------
+
+def test_ivf_assign_udf_matches_sql(spark):
+    """The Arrow-matmul assignment (scale path) and the crossJoin+argmax SQL
+    path must pick identical centroids for every vector (both argmax over
+    the 4dp-rounded score grid, ties → smallest cid)."""
+    emb = _emb(spark)
+    cent = similarity.ivf_centroids(emb, 16)
+    a = similarity.ivf_assign(emb, cent).select("vec_id", "cid")
+    b = similarity.ivf_assign_udf(emb, cent).select(
+        "vec_id", F.col("cid").alias("cid_udf"))
+    mismatches = (a.join(b, "vec_id")
+                   .filter(F.col("cid") != F.col("cid_udf")).count())
+    assert mismatches == 0
+    assert a.count() == emb.count()
+
+
+def test_ivf_topk_recall_and_scores(spark):
+    """nprobe=2 of 4 cells scans ~half the corpus → nontrivial top-10
+    recall; every returned score must equal the brute-force score for the
+    same pair (IVF changes the candidate set, never the metric)."""
+    emb = _emb(spark)
+    brute = similarity.brute_topk(emb, [0, 1, 2, 3, 4], k=10).collect()
+    ivf = similarity.ivf_topk(emb, [0, 1, 2, 3, 4], k=10,
+                              n_centroids=4, nprobe=2).collect()
+    b = {(r["query_id"], r["vec_id"]) for r in brute}
+    i = {(r["query_id"], r["vec_id"]) for r in ivf}
+    recall = len(b & i) / len(b)
+    assert recall > 0.2, recall
+    bscore = {(r["query_id"], r["vec_id"]): r["score"] for r in brute}
+    for r in ivf:
+        key = (r["query_id"], r["vec_id"])
+        if key in bscore:
+            assert abs(r["score"] - bscore[key]) < 1e-9
+
+
+def test_auto_centroids_ladder_matches_sql():
+    """Python ladder ≡ SQL ladder for every corpus size across the range
+    (the oracled query derives C from count(*) on both sides)."""
+    import duckdb
+    con = duckdb.connect()
+    for n in [1, 4, 15, 16, 17, 500, 10**4, 10**6, 10**8]:
+        sql = similarity.auto_centroids_sql(str(n))
+        got = con.execute(f"SELECT {sql}").fetchone()[0]
+        assert got == similarity.auto_centroids(n), n
+    assert similarity.auto_centroids(10**12) == 4096  # capped
+
+
+# --- skew diagnostics --------------------------------------------------------
+
+def test_heavy_hitters_and_skew_stats(spark):
+    """heavy_hitters order/share vs a pandas recomputation; skew_stats
+    consistency (max_cnt is the top hitter's count)."""
+    from sparkcheck.operators.skew import heavy_hitters, skew_stats
+    from sparkcheck.sources.pages import load_pages
+    docs = load_pages(spark, SF_SMALL, replicas=2)
+    host = F.regexp_extract(F.col("url"), r"https?://([^/]+)", 1)
+    hh = heavy_hitters(docs, host, k=5, key_name="host").collect()
+    pdf = docs.select(host.alias("host")).toPandas()
+    counts = pdf["host"].value_counts()
+    total = len(pdf)
+    assert [r["host"] for r in hh[:3]] == [
+        k for k, _ in sorted(counts.items(),
+                             key=lambda kv: (-kv[1], kv[0]))[:3]]
+    for r in hh:
+        assert r["cnt"] == counts[r["host"]]
+        import math
+        assert abs(r["share"]
+                   - math.floor(r["cnt"] / total * 10000 + 0.5) / 10000) < 1e-12
+    st = skew_stats(docs, host, key_name="host").collect()[0]
+    assert st["n_keys"] == counts.size
+    assert st["max_cnt"] == counts.max() == hh[0]["cnt"]
+    assert st["skew_ratio"] >= 1.0

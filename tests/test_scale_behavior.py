@@ -174,3 +174,24 @@ def test_sql_rule_path_has_no_python_udf(spark):
     plan = res.verdicts._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "PythonUDF", "ArrowEvalPython"):
         assert marker not in plan, marker
+
+
+def test_ivf_assignment_plan_shape(spark):
+    """IVF assignment must stay a broadcast crossJoin (centroids are the
+    small side) with a partial (map-side-combining) argmax aggregate — only
+    N rows may reach the shuffle, never the N×C scored pairs, and no
+    shuffled join may appear anywhere in the build."""
+    from sparkcheck.operators import similarity
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    cent = similarity.ivf_centroids(emb, 16)
+    plan = (similarity.ivf_assign(emb, cent)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # partial (map-side) aggregation below the exchange: the argmax is a
+    # SortAggregate (the array-typed first(vec) buffer rules out hash agg)
+    # but partial_max still collapses each task's N×C scored rows to N
+    # before the single shuffle
+    assert "partial_max" in plan
+    assert plan.split("== Initial Plan ==")[0] \
+               .count("Exchange hashpartitioning") == 1
