@@ -78,11 +78,13 @@ def main() -> None:
     out.append(summarize(
         "full validation suite → verdicts", plan_of(res.verdicts),
         "one persist point feeds the dup aggregate and the verdict "
-        "projection; ISO dim joins broadcast; the dup-key join strategy is "
-        "AQE-decided — the SortMergeJoin counted above is its INITIAL plan "
-        "(no static broadcast hint), converted to a runtime BroadcastHashJoin "
-        "in the final plan at this data size, kept shuffled under mass "
-        "duplication; extraction is a single Arrow mapInPandas"))
+        "projection; ISO dim joins broadcast; the dup-key list passed the "
+        "collect-once gate at this density, so its whole aggregate subtree "
+        "is replaced by a broadcast LocalRelation (the single remaining "
+        "shuffle is the salted dup aggregate itself) — under mass "
+        "duplication the gate instead pins a SHUFFLE_HASH join "
+        "(BENCH/BASELINE.md dup-density addendum); extraction is a single "
+        "Arrow mapInPandas"))
     res.unpersist()
 
     # scan pushdown
@@ -128,9 +130,8 @@ def main() -> None:
 
     # skew diagnostics
     from sparkcheck.operators.skew import heavy_hitters
-    hh = heavy_hitters(docs.sparkSession.read.parquet(
-        f"{SF}/documents.parquet"),
-        F.regexp_extract(F.col("url"), r"https?://([^/]+)", 1),
+    hh = heavy_hitters(
+        pages, F.regexp_extract(F.col("url"), r"https?://([^/]+)", 1),
         k=10, key_name="host")
     hh.collect()
     out.append(summarize(
