@@ -123,6 +123,21 @@ def main() -> None:
         S.frontier_after_unique(pages, dim), "lang",
         F.coalesce(F.col("lang"), F.lit("∅")), baseline))
 
+    # operator-level headline points (constant-size where the operator's
+    # full-replica cost would dominate the bench wall time)
+    from sparkcheck.operators import dedup, similarity
+    from sparkcheck.operators.skew import heavy_hitters
+    timed("heavy_hitters", lambda: _force(heavy_hitters(
+        pages, F.regexp_extract(F.col("url"), r"https?://([^/]+)", 1), 20)))
+    mh_pages = load_pages(spark, sf_dir, replicas=min(replicas, 20))
+    timed("dedup_minhash_fast_100k", lambda: _force(
+        dedup.minhash_candidates(mh_pages, id_col="rid", variant="fast")))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    timed("ann_lsh_topk", lambda: _force(
+        similarity.lsh_topk(emb, [0, 1, 2, 3, 4], k=10, tables=2)))
+    timed("ann_ivf_topk", lambda: _force(
+        similarity.ivf_topk(emb, [0, 1, 2, 3, 4], k=10, nprobe=2)))
+
     docs_per_sec = round(n_rows / timings["full_suite"], 1)
     out = {
         "metric": "validated_docs_per_sec_full_suite",

@@ -95,12 +95,48 @@ def with_minhash(df: DataFrame, id_col: str, text_col: str = "text",
                      F.col("bb")["bucket"].alias("bucket")))
 
 
+def with_minhash_fast(df: DataFrame, id_col: str, text_col: str = "text",
+                      k: int = DEFAULT_K, bands: int = DEFAULT_BANDS) \
+        -> DataFrame:
+    """The SCALE-PATH band/bucket builder: same (id, band, bucket) contract
+    as with_minhash but measured 7× faster per signature at 100k pages
+    (17.7s → 2.5s, local[32]).
+
+    Why: Spark's array higher-order functions evaluate their lambdas
+    INTERPRETED, outside whole-stage codegen — k transforms over ~80-element
+    shingle arrays dominate the md5 formulation's cost (swapping md5 for
+    xxhash64 inside the lambdas recovered only ~16%). This variant explodes
+    the shingles once and computes all k min-hashes as codegen'd scalar
+    xxhash64 aggregates with map-side partial combine — the one extra
+    shuffle moves just (id, k longs) per row. Buckets are bigint (not md5
+    hex), so signatures are NOT byte-compatible with the oracle-pinned md5
+    formulation — use the md5 variant where DuckDB parity matters, this one
+    at scale."""
+    rows = k // bands
+    sh = shingles(text_col)
+    ex = (df.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("id"), F.explode(sh).alias("_s")))
+    aggs = [F.min(F.xxhash64(F.lit(j), F.col("_s"))).alias(f"_h{j}")
+            for j in range(k)]
+    sig = ex.groupBy("id").agg(*aggs)
+    band_structs = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(F.lit(b), *[F.col(f"_h{b * rows + r}")
+                                        for r in range(rows)])
+                 .alias("bucket"))
+        for b in range(bands)])
+    return (sig.select("id", F.explode(band_structs).alias("bb"))
+               .select("id", F.col("bb")["band"].alias("band"),
+                       F.col("bb")["bucket"].alias("bucket")))
+
+
 DEFAULT_MAX_BUCKET = 200  # pair blowup cap: ≤ cap²/2 pairs per bucket
 
 
 def minhash_candidates(df: DataFrame, id_col: str, text_col: str = "text",
                        k: int = DEFAULT_K, bands: int = DEFAULT_BANDS,
-                       max_bucket: int = DEFAULT_MAX_BUCKET) -> DataFrame:
+                       max_bucket: int = DEFAULT_MAX_BUCKET,
+                       variant: str = "md5") -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH bucket.
 
     Bucket-size cap (100-TB guard): on web data a mass-duplicated page puts
@@ -109,8 +145,14 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str = "text",
     FIRST (cheap map-side-combining agg); only buckets with 2..max_bucket
     members are collected and paired. Overflowing buckets are mass
     duplication — exact_duplicates catches those groups at O(n), and
-    minhash_bucket_stats surfaces them for logging."""
-    bb = with_minhash(df, id_col, text_col, k, bands)
+    minhash_bucket_stats surfaces them for logging.
+
+    variant='md5' is the oracle-parity formulation; variant='fast' swaps in
+    with_minhash_fast (codegen'd xxhash64, measured 7× cheaper signatures)
+    — same LSH statistics, different hash family, so candidate SETS differ
+    between variants (both are valid LSH candidate generators)."""
+    builder = {"md5": with_minhash, "fast": with_minhash_fast}[variant]
+    bb = builder(df, id_col, text_col, k, bands)
     eligible = (bb.groupBy("band", "bucket")
                   .agg(F.count(F.lit(1)).alias("_n"))
                   .filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket))
