@@ -306,10 +306,10 @@ def run_validation(df: DataFrame, builder: ValidatorBuilder,
             # hint; one CollectLimit probe bounded by the broadcast threshold
             # decides — under it, the collected keys become a hinted
             # LocalRelation (the dup aggregate runs exactly once, nothing
-            # stays persisted); above it, a plain shuffled join (AQE skew
-            # split as backstop) over a frame persisted into this run's
-            # lifecycle list. The probe job also happens to materialize the
-            # persist point early.
+            # stays persisted); above it, a SHUFFLE_HASH-pinned join (AQE
+            # skew split still applies; AQE broadcast conversion does not)
+            # over the probe-warmed cache persisted into this run's
+            # lifecycle list.
             from .operators.uniqueness import gate_broadcast
             dups = gate_broadcast(dups, f"_dk{i}", owner=persisted)
             df = df.join(dups,
