@@ -127,8 +127,9 @@ def main() -> None:
     # full-replica cost would dominate the bench wall time)
     from sparkcheck.operators import dedup, similarity
     from sparkcheck.operators.skew import heavy_hitters
+    from sparkcheck.oracle import HOST_RE
     timed("heavy_hitters", lambda: _force(heavy_hitters(
-        pages, F.regexp_extract(F.col("url"), r"https?://([^/]+)", 1), 20)))
+        pages, F.regexp_extract(F.col("url"), HOST_RE, 1), 20)))
     mh_pages = load_pages(spark, sf_dir, replicas=min(replicas, 20))
     timed("dedup_minhash_fast_100k", lambda: _force(
         dedup.minhash_candidates(mh_pages, id_col="rid", variant="fast")))

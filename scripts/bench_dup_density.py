@@ -43,7 +43,8 @@ def build_input(spark, rows: int, dup: float):
 
 
 def run_mode(spark, mode: str, rows: int, dup: float) -> float:
-    import sparkcheck.engine as engine_mod
+    # patching U.gate_broadcast is enough: engine.run_validation resolves it
+    # with a call-time import from operators.uniqueness
     import sparkcheck.operators.uniqueness as U
     from sparkcheck import FieldConstraint, build_validator
 
@@ -139,5 +140,4 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    import sys
     sys.exit(main())

@@ -130,8 +130,9 @@ def main() -> None:
 
     # skew diagnostics
     from sparkcheck.operators.skew import heavy_hitters
+    from sparkcheck.oracle import HOST_RE
     hh = heavy_hitters(
-        pages, F.regexp_extract(F.col("url"), r"https?://([^/]+)", 1),
+        pages, F.regexp_extract(F.col("url"), HOST_RE, 1),
         k=10, key_name="host")
     hh.collect()
     out.append(summarize(

@@ -215,6 +215,21 @@ class IcebergStore:
         return spark.table(self._tbl("manifest")) \
             if self._exists("manifest") else None
 
+    @staticmethod
+    def _run_ids(spark: SparkSession, tbl: str) -> set[str]:
+        """Distinct run_ids of an output table WITHOUT a data scan where
+        possible: run_id is the partition column, so Iceberg's `partitions`
+        metadata table carries the value set; fall back to a distinct scan
+        if the metadata table is unreadable (older runtimes)."""
+        try:
+            return {r["rid"] for r in
+                    spark.table(f"{tbl}.partitions")
+                         .select(F.col("partition.run_id").alias("rid"))
+                         .distinct().collect()}
+        except Exception:
+            return {r["run_id"] for r in
+                    spark.table(tbl).select("run_id").distinct().collect()}
+
     def reconcile(self, spark: SparkSession) -> list[str]:
         """Metadata-level orphan cleanup: drop output rows whose run_id never
         reached the manifest (crash between output append and commit)."""
@@ -227,11 +242,12 @@ class IcebergStore:
             if not self._exists(name):
                 continue
             tbl = self._tbl(name)
-            present = {r["run_id"] for r in
-                       spark.table(tbl).select("run_id").distinct().collect()}
-            for rid in sorted(present - committed):
-                # run_id is the partition column → a metadata delete
-                spark.sql(f"DELETE FROM {tbl} WHERE run_id = '{rid}'")
+            for rid in sorted(self._run_ids(spark, tbl) - committed):
+                # run_id is the partition column → a metadata delete.
+                # Single-quote escaping: run_id is caller-supplied and lands
+                # in a SQL literal
+                lit = rid.replace("'", "''")
+                spark.sql(f"DELETE FROM {tbl} WHERE run_id = '{lit}'")
                 orphans.add(rid)
         return sorted(orphans)
 
@@ -287,13 +303,17 @@ def run_resumable(spark: SparkSession, input_glob: str, build_validator_fn,
         store = ParquetStore(base)
     store.reconcile(spark)  # drop uncommitted leftovers before reprocessing
 
+    # pending FILE list from the (distributed) lister — includes zero-row
+    # files, which produce no rows and would otherwise never commit and be
+    # re-planned on every resume (ADVICE r02). Listed BEFORE the parquet
+    # index is built: a file that holds rows at scan time is then either in
+    # this listing too (normal) or newer than it (committed from the
+    # row-derived side below) — a listing-only file can only be genuinely
+    # zero-row or deleted-before-read, never silently-skipped data.
+    pending_files = input_files_df(spark, input_glob)
     raw = spark.read.parquet(input_glob) \
         .withColumn("_input_file", _norm_uri(F.input_file_name()))
     done = store.completed_files_df(spark)
-    # pending FILE list from the (distributed) lister — includes zero-row
-    # files, which produce no rows and would otherwise never commit and be
-    # re-planned on every resume (ADVICE r02)
-    pending_files = input_files_df(spark, input_glob)
     if done is not None:
         # anti-join instead of a collected isin() list: `done` is O(files),
         # broadcast by AQE when small, shuffled join when a checkpoint has
@@ -338,10 +358,11 @@ def run_resumable(spark: SparkSession, input_glob: str, build_validator_fn,
     wall = time.perf_counter() - t0
 
     # per-file lineage metrics from the (persisted) annotated frame — built
-    # and written as a DataFrame, never collected to the driver. Pending
-    # files with no surviving rows (zero-row parquet) are committed with
-    # rows=0 via a left join from the pending FILE list, so n_files agrees
-    # with the files actually consumed and they are never re-scanned.
+    # and written as a DataFrame, never collected to the driver. FULL OUTER
+    # against the pending FILE list: row-derived-only files (added between
+    # the listing and the scan) still commit exactly-once with their real
+    # counts; listing-only files (genuinely zero-row parquet, or deleted
+    # before the scan) commit with rows=0 so they are never re-scanned.
     per_file = (result.annotated
                 .groupBy("_input_file")
                 .agg(F.count(F.lit(1)).alias("rows"),
@@ -350,7 +371,7 @@ def run_resumable(spark: SparkSession, input_glob: str, build_validator_fn,
                          F.lit(0)).alias("failed_rows"))
                 .withColumnRenamed("_input_file", "input_file"))
     entries = (pending_files
-               .join(per_file, on="input_file", how="left")
+               .join(per_file, on="input_file", how="full_outer")
                .select(F.lit(run_id).alias("run_id"), "input_file",
                        F.coalesce(F.col("rows"), F.lit(0)).alias("rows"),
                        F.coalesce(F.col("failed_rows"), F.lit(0))

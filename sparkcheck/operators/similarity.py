@@ -351,7 +351,13 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
     lsh_topk). Within-bucket pairing is quadratic per bucket — bits=None
     auto-sizes the bucket count to the corpus (auto_bits: 2^bits ≈
     N/target_bucket_size, one count() job) so occupancy stays constant as N
-    grows instead of being a fixed demo value."""
+    grows instead of being a fixed demo value.
+
+    NB the bits=None default derives width with auto_bits' scale ceiling
+    (hi=30); a caller comparing against the DuckDB oracle must pass
+    bits=auto_bits(n, hi=ORACLE_MAX_BITS) instead (as the driver queries
+    do) — the SQL oracle materializes at most ORACLE_MAX_BITS planes, so
+    above 128·2^16 rows the two defaults would diverge."""
     if bits is None:
         bits = auto_bits(emb.count())
     bucket = (lsh_bucket_udf(dim, bits, seed)(F.col(vec_col)) if use_udf

@@ -54,9 +54,9 @@ def gate_broadcast(small: DataFrame, key_col: str,
     — the rows a broadcast would ship to the driver anyway are collected
     once and reused as the build side, so the aggregation subtree is computed
     exactly once per query and no persisted handle can leak. Above the
-    threshold the frame is returned with a MERGE hint pinning the shuffled
-    join (AQE skew splitting still applies; AQE broadcast-conversion does
-    NOT — it re-decides from compressed shuffle bytes, which ignore the
+    threshold the frame is returned with a SHUFFLE_HASH hint pinning the
+    shuffled join (AQE skew splitting still applies; AQE broadcast-conversion
+    does NOT — it re-decides from compressed shuffle bytes, which ignore the
     per-row hashed-relation overhead this probe counts).
 
     Why not leave it entirely to AQE: without a static hint both join
@@ -87,20 +87,36 @@ def gate_broadcast(small: DataFrame, key_col: str,
     # the probe side measured ~1.7x slower.
     BIG_HINT = "shuffle_hash"
 
+    def _keep_big(frame: DataFrame) -> DataFrame:
+        if owner is not None:
+            cached = frame if frame.is_cached \
+                else frame.persist(StorageLevel.MEMORY_AND_DISK)
+            owner.append(cached)
+            return cached.hint(BIG_HINT)
+        # no lifecycle owner may keep a persisted handle (the round-2
+        # leak): drop any cache and accept one recompute of the subtree
+        if frame.is_cached:
+            frame.unpersist()
+        return frame.hint(BIG_HINT)
+
     try:
         threshold = parse_size_bytes(
             spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
     except Exception:
         threshold = 10 << 20
-    if threshold <= 0:  # broadcast disabled
-        return small.hint(BIG_HINT)
+    if threshold <= 0:  # broadcast disabled: straight to the big case
+        return _keep_big(small)
     max_rows = min(threshold // PER_ROW_OVERHEAD, MAX_PROBE_ROWS)
     # persist BEFORE probing: the probe's CollectLimit materializes the
     # aggregate into the cache, so the big case's shuffled join REUSES that
     # work instead of recomputing the subtree (measured: the recompute was
     # the bulk of the gate's overhead at high dup density)
     cached = small.persist(StorageLevel.MEMORY_AND_DISK)
-    probe = cached.limit(max_rows + 1).collect()
+    try:
+        probe = cached.limit(max_rows + 1).collect()
+    except Exception:
+        cached.unpersist()  # no handle may leak on a failed probe job
+        raise
     if len(probe) <= max_rows:
         # we hold ALL rows — estimate: key bytes + ~32B/row hashed-relation
         # overhead, same formula as a broadcast build would pay
@@ -110,13 +126,7 @@ def gate_broadcast(small: DataFrame, key_col: str,
             cached.unpersist()
             local = spark.createDataFrame(probe, small.schema)
             return F.broadcast(local)
-    if owner is not None:
-        owner.append(cached)
-        return cached.hint(BIG_HINT)
-    # no lifecycle owner may keep a persisted handle (the round-2 leak):
-    # drop the cache and accept one recompute of the aggregate subtree
-    cached.unpersist()
-    return small.hint(BIG_HINT)
+    return _keep_big(cached)
 
 
 def duplicate_keys(df: DataFrame, col: str, salt_buckets: int = 64) -> DataFrame:
