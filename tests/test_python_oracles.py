@@ -301,3 +301,16 @@ def test_heavy_hitters_and_skew_stats(spark):
     assert st["n_keys"] == counts.size
     assert st["max_cnt"] == counts.max() == hh[0]["cnt"]
     assert st["skew_ratio"] >= 1.0
+
+
+def test_ivf_topk_udf_path_matches_sql_path(spark):
+    """ivf_topk(use_udf=True) wires the Arrow assignment into the same
+    search — results must be identical to the SQL-path call."""
+    emb = _emb(spark)
+    a = similarity.ivf_topk(emb, [0, 1, 2], k=5, n_centroids=8,
+                            nprobe=2).collect()
+    b = similarity.ivf_topk(emb, [0, 1, 2], k=5, n_centroids=8,
+                            nprobe=2, use_udf=True).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted([(r["query_id"], r["vec_id"], r["rank"]) for r in a]) == \
+           sorted([(r["query_id"], r["vec_id"], r["rank"]) for r in b])

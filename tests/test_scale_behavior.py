@@ -220,3 +220,35 @@ def test_ivf_assignment_plan_shape(spark):
     assert "partial_max" in plan
     assert plan.split("== Initial Plan ==")[0] \
                .count("Exchange hashpartitioning") == 1
+
+
+def test_gate_small_and_big_paths_agree(spark):
+    """The gate decision is a PHYSICAL choice only: forcing the big
+    (shuffled, cache-backed) path by shrinking the broadcast threshold must
+    produce byte-identical verdicts to the default (LocalRelation
+    broadcast) path on the same input."""
+    from sparkcheck import FieldConstraint, build_validator
+
+    df = spark.range(20_000).select(
+        F.concat(F.lit("https://x/p/"),
+                 (F.col("id") % 15_000).cast("string")).alias("url"))
+
+    def run():
+        v = (build_validator()
+             .input(constraints=[FieldConstraint("url", "url IS NOT NULL",
+                                                 "req")], key_col="url")
+             .unique("url"))
+        res = v.validate(df)
+        out = sorted((r["url"], r["success"], r["rule_id"])
+                     for r in res.verdicts.collect())
+        res.unpersist()
+        return out
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    small_path = run()
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+        big_path = run()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert small_path == big_path
