@@ -210,6 +210,14 @@ def q_dedup_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard(pages, cand, id_col="rid")
 
 
+def q_dedup_fuzzy_drop_list(spark, sf_dir):
+    """Operational fuzzy dedup: MinHash candidates → Jaccard-verified edges →
+    connected components → (id, keep_id) drop rows. The oracle computes the
+    same components with a recursive reachability CTE."""
+    return dedup.fuzzy_drop_list(_pages(spark, sf_dir), id_col="rid",
+                                 threshold=0.8)
+
+
 def q_cosine_scores(spark, sf_dir):
     return similarity.cosine_scores(_emb(spark, sf_dir), [0, 1, 2, 3, 4])
 
@@ -378,6 +386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_drop_list": q_dedup_drop_list,
         "dedup_minhash_candidates": q_dedup_minhash_candidates,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_fuzzy_drop_list": q_dedup_fuzzy_drop_list,
         "cosine_scores": q_cosine_scores,
         "media_metadata": q_media_metadata,
         "frame_sample": q_frame_sample,
@@ -423,6 +432,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_drop_list": oracle.dedup_drop_list(),
         "dedup_minhash_candidates": oracle.dedup_minhash_candidates(),
         "dedup_jaccard": oracle.dedup_jaccard(),
+        "dedup_fuzzy_drop_list": oracle.dedup_fuzzy_drop_list(),
         "cosine_scores": oracle.cosine_scores(),
         "media_metadata": oracle.media_metadata(),
         "frame_sample": oracle.frame_sample(),

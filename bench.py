@@ -73,11 +73,20 @@ def main() -> None:
         "col string, bucket string, p double")
 
     timings: dict[str, float] = {}
+    raw_runs: dict[str, list[float]] = {}
 
-    def timed(name, fn):
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    def timed(name, fn, reps=1):
+        """Best-of-`reps` timing; every raw run is recorded in the output so
+        round-over-round comparisons can see through this host's documented
+        multi-minute external contention bursts (a single-shot row that
+        regressed 3× on paper was indistinguishable from contention)."""
+        runs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            runs.append(round(time.perf_counter() - t0, 3))
+        raw_runs[name] = runs
+        timings[name] = min(runs)
 
     # full suite: verdicts + violations forced (stats/drift included)
     def full_suite():
@@ -99,32 +108,30 @@ def main() -> None:
     only = os.environ.get("SPARKCHECK_BENCH_ONLY") == "full_suite"
     inner = int(os.environ.get("SPARKCHECK_BENCH_INNER",
                                "1" if only else "2"))
-    runs = []
-    for _ in range(inner):
-        timed("full_suite", full_suite)
-        runs.append(timings["full_suite"])
-    timings["full_suite"] = min(runs)
+    timed("full_suite", full_suite, reps=inner)
     if only:
         docs_per_sec = round(n_rows / timings["full_suite"], 1)
         print(json.dumps({
             "metric": "validated_docs_per_sec_full_suite",
             "value": docs_per_sec, "unit": "docs/sec", "queries": timings,
-            "full_suite_runs": runs,
+            "full_suite_runs": raw_runs["full_suite"],
             "sf": sf_dir.rstrip("/").split("/")[-1], "rows": n_rows,
             "cores": cpus, "replicas": replicas}))
         return
     timed("unique_url", lambda: _force(
-        duplicate_keys(S.valid_pages(pages, dim), "url")))
+        duplicate_keys(S.valid_pages(pages, dim), "url")), reps=inner)
     timed("column_stats", lambda: _force(
-        column_stats(S.frontier_after_unique(pages, dim), S.STATS_COLS)))
+        column_stats(S.frontier_after_unique(pages, dim), S.STATS_COLS)),
+        reps=inner)
     timed("length_histogram", lambda: _force(
-        length_histogram(S.frontier_after_unique(pages, dim), "text")))
+        length_histogram(S.frontier_after_unique(pages, dim), "text")),
+        reps=inner)
     timed("extraction", lambda: _force(
         pages.select(F.sha2(extract_text(F.col("html")), 256).alias("h"))
-             .filter(F.col("h").isNotNull())))
+             .filter(F.col("h").isNotNull())), reps=inner)
     timed("drift_kl", lambda: kl_divergence(
         S.frontier_after_unique(pages, dim), "lang",
-        F.coalesce(F.col("lang"), F.lit("∅")), baseline))
+        F.coalesce(F.col("lang"), F.lit("∅")), baseline), reps=inner)
 
     # operator-level headline points (constant-size where the operator's
     # full-replica cost would dominate the bench wall time)
@@ -132,15 +139,27 @@ def main() -> None:
     from sparkcheck.operators.skew import heavy_hitters
     from sparkcheck.oracle import HOST_RE
     timed("heavy_hitters", lambda: _force(heavy_hitters(
-        pages, F.regexp_extract(F.col("url"), HOST_RE, 1), 20)))
+        pages, F.regexp_extract(F.col("url"), HOST_RE, 1), 20)), reps=inner)
     mh_pages = load_pages(spark, sf_dir, replicas=min(replicas, 20))
     timed("dedup_minhash_fast_100k", lambda: _force(
-        dedup.minhash_candidates(mh_pages, id_col="rid", variant="fast")))
+        dedup.minhash_candidates(mh_pages, id_col="rid", variant="fast")),
+        reps=inner)
+    def fuzzy_drops():
+        # owner list = the engine-style lifecycle: the converged label frame
+        # stays cached for the consuming action, released right after
+        handles: list = []
+        _force(dedup.fuzzy_drop_list(mh_pages, id_col="rid", variant="fast",
+                                     owner=handles))
+        for h in handles:
+            h.unpersist()
+    timed("dedup_fuzzy_drop_list_100k", fuzzy_drops, reps=inner)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     timed("ann_lsh_topk", lambda: _force(
-        similarity.lsh_topk(emb, [0, 1, 2, 3, 4], k=10, tables=2)))
+        similarity.lsh_topk(emb, [0, 1, 2, 3, 4], k=10, tables=2)),
+        reps=inner)
     timed("ann_ivf_topk", lambda: _force(
-        similarity.ivf_topk(emb, [0, 1, 2, 3, 4], k=10, nprobe=2)))
+        similarity.ivf_topk(emb, [0, 1, 2, 3, 4], k=10, nprobe=2)),
+        reps=inner)
 
     docs_per_sec = round(n_rows / timings["full_suite"], 1)
     out = {
@@ -148,6 +167,7 @@ def main() -> None:
         "value": docs_per_sec,
         "unit": "docs/sec",
         "queries": timings,
+        "query_runs": raw_runs,
         "sf": sf_dir.rstrip("/").split("/")[-1],
         "rows": n_rows,
         "cores": cpus,

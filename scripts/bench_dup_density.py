@@ -5,7 +5,8 @@ duplicated rows on a 10M-row synthetic table under three dup-list join
 strategies, interleaved best-of-N:
 
   gated     — the engine default (collect-once probe; above-threshold →
-              plain shuffled join, no hint)
+              SHUFFLE_HASH-pinned join over the probe-warmed cache — the
+              hint blocks AQE's compressed-bytes broadcast conversion)
   aqe       — no probe, no hint: both join children shuffle and AQE decides
               at runtime (pays the probe side's shuffle-file write)
   broadcast — unconditional F.broadcast hint on the dup list (what the gate

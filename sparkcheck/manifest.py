@@ -269,14 +269,21 @@ def _norm_uri(col):
 def input_files_df(spark: SparkSession, input_glob: str) -> DataFrame:
     """One row per INPUT FILE (including zero-row files), listed as a
     DataFrame via the binaryFile source with content pruned — distributed,
-    never a driver-side python list. Spark-internal non-data files
-    (_SUCCESS etc.) are excluded, matching the parquet reader's listing.
-    On a lakehouse this is the files() metadata table instead."""
+    never a driver-side python list. Mirrors the parquet reader's listing:
+    recursive lookup (so zero-row files inside nested/partitioned layouts
+    are seen too) restricted to `*.parquet` data files — Spark-internal
+    files (_SUCCESS etc.) and non-parquet sidecars are excluded, so a
+    sidecar can never be committed as a rows=0 data file. A data file
+    WITHOUT a .parquet suffix still validates fine (the parquet scan reads
+    it and the row-derived manifest side commits it); only the
+    zero-row+suffix-less corner keeps rescanning. On a lakehouse this is
+    the files() metadata table instead."""
     bf = (spark.read.format("binaryFile")
-          .option("recursiveFileLookup", "false")
+          .option("recursiveFileLookup", "true")
           .load(input_glob))
     name = F.element_at(F.split(F.col("path"), "/"), -1)
-    return (bf.filter(~name.startswith("_") & ~name.startswith("."))
+    return (bf.filter(~name.startswith("_") & ~name.startswith(".")
+                      & name.endswith(".parquet"))
               .select(_norm_uri(F.col("path")).alias("input_file")))
 
 

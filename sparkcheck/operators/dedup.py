@@ -202,6 +202,108 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str,
                  .select("id_a", "id_b", j4.alias("jaccard")))
 
 
+def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",
+                         max_iter: int = 25,
+                         owner: list | None = None) -> DataFrame:
+    """Connected components over an undirected pair list via hash-min label
+    propagation: every node starts labeled with its own id; each round a node
+    takes the MIN of its label and its neighbors' labels; fixpoint = every
+    node carries its component's minimum id. Returns (id, component).
+
+    Scale design: one shuffle join (edges × labels) + one map-side-combining
+    min-aggregate per round; rounds = O(component diameter). Near-dup
+    components on web data are tight clusters (a page and its mutations all
+    pair with each other), so diameter is small; pathological chain graphs
+    would need the large-star/small-star alternating formulation (Kiveris et
+    al., "Connected Components in MapReduce and Beyond") — max_iter guards
+    against that shape with a loud error instead of a silently-partial
+    labeling. Convergence is detected by the label SUM (labels only ever
+    decrease, so an unchanged sum ⟺ fixpoint); summed as decimal(38,0) so
+    10^12-scale ids cannot overflow the check.
+
+    Lifecycle (same convention as uniqueness.gate_broadcast): iteration
+    frames are persisted while the loop runs. With `owner` (a list, e.g. the
+    engine's `persisted`) the converged label frame stays cached and its
+    handle is appended for the caller to release. With owner=None no
+    persisted handle survives the call — consuming the result recomputes the
+    propagation chain once (lineage is intact and deterministic); fine for
+    one-shot consumers, pass an owner when the components feed several
+    downstream frames.
+
+    NOTE eager: runs one Spark job per propagation round at call time."""
+    from pyspark.storagelevel import StorageLevel
+    # the edge list (often the tail of an expensive candidate+verify
+    # pipeline) is referenced once per round — persist it for the loop's
+    # lifetime, released in the finally below
+    edges = (pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+             .union(pairs.select(F.col(b).alias("src"),
+                                 F.col(a).alias("dst")))
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+                   .select("id", F.col("id").alias("lbl"))
+                   .persist(StorageLevel.MEMORY_AND_DISK))
+    try:
+        prev_sum = labels.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0]
+        for _ in range(max_iter):
+            msgs = (edges.join(labels, edges["src"] == labels["id"])
+                         .select(F.col("dst").alias("id"), F.col("lbl")))
+            new_labels = (msgs.union(labels.select("id", "lbl"))
+                              .groupBy("id").agg(F.min("lbl").alias("lbl"))
+                              .persist(StorageLevel.MEMORY_AND_DISK))
+            new_sum = new_labels.agg(
+                F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0]
+            labels.unpersist()
+            labels = new_labels
+            if new_sum == prev_sum:
+                out = labels.select("id", F.col("lbl").alias("component"))
+                if owner is not None:
+                    owner.append(labels)
+                else:
+                    labels.unpersist()
+                return out
+            prev_sum = new_sum
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "component diameter exceeds the bound; raise max_iter or use a "
+            "star-contraction formulation for chain-shaped graphs")
+    except Exception:
+        if labels.is_cached:
+            labels.unpersist()
+        raise
+    finally:
+        edges.unpersist()
+
+
+def fuzzy_drop_list(df: DataFrame, id_col: str, text_col: str = "text",
+                    threshold: float = 0.8, k: int = DEFAULT_K,
+                    bands: int = DEFAULT_BANDS,
+                    max_bucket: int = DEFAULT_MAX_BUCKET,
+                    variant: str = "md5", max_iter: int = 25,
+                    owner: list | None = None) -> DataFrame:
+    """The operational fuzzy half of dedup (the near-dup analogue of
+    exact_drop_list, completing the reference's duplicate-check archetype
+    /root/reference/src/test.spec.ts:407-446 at the fuzzy level): MinHash+LSH
+    candidates → n-gram Jaccard ≥ threshold verified edges → connected
+    components → (id, keep_id) for every row to DELETE, keeper = the
+    component's minimum id. `df.join(fuzzy_drop_list(df, id), id,
+    'left_anti')` is the dedup write.
+
+    NOTE eager: the component loop runs Spark jobs at call time (one per
+    propagation round). Inherits minhash_candidates' bucket-size cap, so
+    mass-duplicated pages cannot blow up candidate generation (their groups
+    are caught at O(n) by exact_drop_list, which composes with this one)."""
+    cand = minhash_candidates(df, id_col, text_col, k, bands, max_bucket,
+                              variant)
+    edges = (ngram_jaccard(df, cand, id_col, text_col)
+             .filter(F.col("jaccard") >= threshold)
+             .select("id_a", "id_b"))
+    comp = connected_components(edges, max_iter=max_iter, owner=owner)
+    return (comp.filter(F.col("id") != F.col("component"))
+                .select("id", F.col("component").alias("keep_id")))
+
+
 def simhash_bits(text_col: str = "text", bits: int = 32):
     """SimHash as pure SQL: per token t, md5(t) supplies `bits` hex nibbles;
     bit_i = (nibble_i & 1). Weighted sum over tokens per bit → sign →

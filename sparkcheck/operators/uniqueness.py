@@ -107,10 +107,11 @@ def gate_broadcast(small: DataFrame, key_col: str,
     if threshold <= 0:  # broadcast disabled: straight to the big case
         return _keep_big(small)
     max_rows = min(threshold // PER_ROW_OVERHEAD, MAX_PROBE_ROWS)
-    # persist BEFORE probing: the probe's CollectLimit materializes the
-    # aggregate into the cache, so the big case's shuffled join REUSES that
-    # work instead of recomputing the subtree (measured: the recompute was
-    # the bulk of the gate's overhead at high dup density)
+    # persist BEFORE probing: the probe's CollectLimit stops once
+    # max_rows+1 rows are in hand, so it may materialize only a SUBSET of
+    # the aggregate's partitions into the cache — the big case's shuffled
+    # join reuses whatever was warmed and recomputes the rest (bounded,
+    # measured cheaper than the full recompute at high dup density)
     cached = small.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         probe = cached.limit(max_rows + 1).collect()
@@ -118,10 +119,14 @@ def gate_broadcast(small: DataFrame, key_col: str,
         cached.unpersist()  # no handle may leak on a failed probe job
         raise
     if len(probe) <= max_rows:
-        # we hold ALL rows — estimate: key bytes + ~32B/row hashed-relation
-        # overhead, same formula as a broadcast build would pay
-        est = sum(len(str(r[key_col] or "")) + PER_ROW_OVERHEAD
-                  for r in probe)
+        # we hold ALL rows — estimate: every column's string width + ~32B/row
+        # hashed-relation overhead, same formula as a broadcast build would
+        # pay. NULL is the only zero-width value ('' if v is None) — falsy
+        # keys like 0 or '' still count their rendered bytes.
+        est = sum(
+            sum(len("" if v is None else str(v)) for v in r)
+            + PER_ROW_OVERHEAD
+            for r in probe)
         if est < threshold:
             cached.unpersist()
             local = spark.createDataFrame(probe, small.schema)

@@ -296,6 +296,37 @@ SELECT c.id_a, c.id_b,
 FROM cand c JOIN shd x ON c.id_a = x.id JOIN shd y ON c.id_b = y.id"""
 
 
+def dedup_fuzzy_drop_list(threshold: float = 0.8) -> str:
+    """Fuzzy-dedup drop list oracle (operators/dedup.fuzzy_drop_list):
+    the same candidate pairs + 4dp-floored Jaccard edges, then connected
+    components as a RECURSIVE reachability CTE — component label = MIN id
+    reachable over the symmetric edge set (with symmetric edges every
+    edged node reaches itself, so the min includes the node). The engine's
+    hash-min label-propagation fixpoint computes the same component minima
+    by construction; both emit (id, keep_id) rows for members ≠ keeper."""
+    return f"""WITH RECURSIVE pages AS ({pages_cte('duckdb', REPLICAS)}),
+{_minhash_cte()}
+, cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+                      AND a.id < b.id),
+shd AS (SELECT id, list_distinct(sh) AS sh FROM sh),
+jac AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN shd x ON c.id_a = x.id JOIN shd y ON c.id_b = y.id
+  WHERE FLOOR((CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(x.sh, y.sh)))) * 10000 + 0.5)
+        / 10000.0 >= {threshold}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM jac
+          UNION SELECT id_b, id_a FROM jac),
+reach AS (
+  SELECT src AS id, dst AS r FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+lbl AS (SELECT id, MIN(r) AS keep_id FROM reach GROUP BY id)
+SELECT id, keep_id FROM lbl WHERE id <> keep_id"""
+
+
 def cosine_scores(query_ids=(0, 1, 2, 3, 4)) -> str:
     ids = ", ".join(str(i) for i in query_ids)
     return f"""

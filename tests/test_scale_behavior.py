@@ -252,3 +252,63 @@ def test_gate_small_and_big_paths_agree(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert small_path == big_path
+
+
+def test_connected_components_label_propagation(spark):
+    """Hash-min propagation reaches the component minimum across multi-hop
+    chains (diameter > 1), labels singleton-edge and triangle components,
+    and leaves no persisted RDD behind."""
+    from sparkcheck.operators.dedup import connected_components
+
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain: min must travel 3 hops
+         (10, 11),                        # single edge
+         (20, 21), (21, 22), (20, 22)],   # triangle
+        "id_a long, id_b long")
+    comp = {r["id"]: r["component"]
+            for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                    20: 20, 21: 20, 22: 20}
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == before
+
+
+def test_connected_components_nonconvergence_is_loud(spark):
+    """A diameter larger than max_iter must raise, never return a partial
+    labeling silently."""
+    import pytest
+    from sparkcheck.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    ok = {r["id"]: r["component"]
+          for r in connected_components(chain, max_iter=10).collect()}
+    assert set(ok.values()) == {1}
+
+
+def test_fuzzy_drop_list_bounds_mass_duplication(spark):
+    """fuzzy_drop_list inherits the LSH bucket cap: a 500×-duplicated spam
+    page cannot explode the component build (its buckets overflow and are
+    skipped — exact_drop_list owns that group at O(n)); the genuine near-dup
+    pair still yields its drop row."""
+    from sparkcheck.operators import dedup
+
+    mass = spark.range(500).select(
+        F.col("id").alias("rid"),
+        F.lit("the same spam page text repeated across many mirror hosts "
+              "with identical words everywhere").alias("text"))
+    near = spark.createDataFrame(
+        [(1000, "alpha beta gamma delta epsilon zeta eta theta"),
+         (1001, "alpha beta gamma delta epsilon zeta eta iota")],
+        "rid long, text string")
+    df = mass.unionByName(near)
+
+    drops = dedup.fuzzy_drop_list(df, id_col="rid", threshold=0.7,
+                                  max_bucket=50).collect()
+    assert {(r["id"], r["keep_id"]) for r in drops} == {(1001, 1000)}
+
+    # exact dedup composes: the mass-dup group is caught at O(n)
+    exact = dedup.exact_drop_list(df, id_col="rid")
+    assert exact.count() == 499
