@@ -314,3 +314,70 @@ def test_ivf_topk_udf_path_matches_sql_path(spark):
     key = lambda r: (r["query_id"], r["rank"])
     assert sorted([(r["query_id"], r["vec_id"], r["rank"]) for r in a]) == \
            sorted([(r["query_id"], r["vec_id"], r["rank"]) for r in b])
+
+
+def test_ivf_auto_switches_to_arrow_assignment_at_large_c(spark):
+    """VERDICT r3 item 3: the engine decides the assignment strategy itself.
+    At n_centroids ≤ IVF_UDF_SWITCH the plan stays pure codegen SQL (no
+    Python eval node); one centroid above, the Arrow matmul path is chosen —
+    and the switched path returns exactly what the SQL-expr path computes."""
+    from sparkcheck.operators.similarity import IVF_UDF_SWITCH
+
+    emb = _emb(spark)
+
+    def plan(c):
+        df = similarity.ivf_topk(emb, [0, 1, 2], k=5, n_centroids=c)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    assert "EvalPython" not in plan(IVF_UDF_SWITCH)
+    assert "ArrowEvalPython" in plan(IVF_UDF_SWITCH + 1)
+
+    # equality ON the switched path: auto (→ Arrow) vs forced SQL folds at a
+    # C above the switch point
+    sql = similarity.ivf_topk(emb, [0, 1, 2], k=5, n_centroids=300,
+                              use_udf=False).collect()
+    auto = similarity.ivf_topk(emb, [0, 1, 2], k=5, n_centroids=300).collect()
+    canon = lambda rows: sorted(
+        (r["query_id"], r["vec_id"], r["score"], r["rank"]) for r in rows)
+    assert canon(sql) == canon(auto)
+
+
+def test_lsh_bucket_parity_above_16_bits(spark):
+    """VERDICT r3 item 5 boundary: the >16-plane signature path executes
+    bit-for-bit identically in both engines (a 20-plane fold per row), so
+    the ORACLE_MAX_BITS=30 masked oracle is exercised beyond the old 16-bit
+    cap without needing an 8.4M-row corpus for the ladder to get there."""
+    import duckdb
+    from sparkcheck.operators.similarity import lsh_bucket_expr, lsh_bucket_sql
+
+    emb = _emb(spark)
+    s = {r["vec_id"]: r["b"]
+         for r in emb.select("vec_id",
+                             lsh_bucket_expr("embedding", 64, 20).alias("b"))
+         .collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{SF_SMALL}/embeddings.parquet'")
+    o = dict(con.execute(
+        "SELECT vec_id, " + lsh_bucket_sql("embedding", 64, 20)
+        + " FROM embeddings").fetchall())
+    con.close()
+    assert len(s) == len(o) and s == o
+    assert max(s.values()) >= (1 << 16)  # signatures genuinely use high bits
+
+
+def test_auto_bits_ladder_python_vs_sql_past_16(spark):
+    """The auto_bits integer ladder and its SQL rendering decide identically
+    for corpus sizes on both sides of the old 16-bit cap, up to the hi=30
+    engine ceiling."""
+    import duckdb
+    from sparkcheck.operators.similarity import auto_bits, auto_bits_sql
+
+    con = duckdb.connect()
+    for n in [1, 500, 2048, (128 << 16) - 1, 128 << 16, (128 << 16) + 1,
+              128 << 22, (128 << 29) + 1, 10 ** 12]:
+        py = auto_bits(n)
+        sql = con.execute(f"SELECT {auto_bits_sql(str(n))}").fetchone()[0]
+        assert py == sql, (n, py, sql)
+    assert auto_bits(10 ** 9) == 23 and auto_bits(10 ** 12) == 30
+    con.close()
