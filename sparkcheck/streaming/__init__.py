@@ -97,7 +97,8 @@ UNIQUE_OUT_SCHEMA = ("key string, batch_seen bigint, total_seen bigint, "
 
 
 def stateful_unique_stream(stream, key_col: str,
-                           timeout: str = "NoTimeout"):
+                           timeout: str = "NoTimeout",
+                           ttl_ms: int | None = None):
     """Cross-micro-batch uniqueness — a custom stateful operator
     (applyInPandasWithState): per key, state carries the running count of
     rows seen across ALL previous micro-batches; a key re-appearing in a
@@ -105,17 +106,37 @@ def stateful_unique_stream(stream, key_col: str,
     twice. foreachBatch validation is per-batch-scoped and cannot express
     this. Arrow-batched per group, state O(distinct keys) in the state store
     (RocksDB on a real cluster). Emits one row per (key, batch) occurrence
-    set."""
+    set.
+
+    State TTL (the one 100-TB hazard of this operator, VERDICT r3 item 7):
+    without eviction the state store grows with every distinct key FOREVER
+    on an unbounded crawl stream. `ttl_ms` switches the operator to
+    ProcessingTimeTimeout and arms a per-key idle timer on every update: a
+    key silent for ttl_ms is evicted on a subsequent micro-batch (nothing
+    emitted for the eviction), after which a re-appearance counts from 1
+    again — the uniqueness guarantee becomes 'unique within a ttl_ms idle
+    window', the standard trade for bounded state. ttl_ms=None keeps the
+    exact unbounded semantics (NoTimeout)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState
 
+    if ttl_ms is not None:
+        timeout = "ProcessingTimeTimeout"
+
     def update(key, pdfs, state: GroupState):
+        if ttl_ms is not None and state.hasTimedOut:
+            # idle-timer expiry: drop the key's state, emit nothing
+            state.remove()
+            return
         n = 0
         for pdf in pdfs:
             n += len(pdf)
         prev = state.get[0] if state.exists else 0
         total = prev + n
         state.update((total,))
+        if ttl_ms is not None:
+            # re-arm on every touch: TTL is idle time, not absolute age
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame({
             "key": [key[0]], "batch_seen": [n], "total_seen": [total],
             "is_duplicate": [total > 1]})

@@ -123,10 +123,25 @@ def run_suite(spark: SparkSession, sf_dir: str, replicas: int = 4,
     (the production shape — a drift baseline is a stored artifact of a prior
     run, not recomputed per run)."""
     pages = load_pages(spark, sf_dir, replicas=replicas)
+    return pages, run_suite_df(spark, pages, replicas=replicas,
+                               baseline=baseline, **kwargs)
+
+
+def run_suite_df(spark: SparkSession, pages: DataFrame, replicas: int = 4,
+                 baseline: DataFrame | None = None, **kwargs):
+    """The flagship suite over a CALLER-SUPPLIED pages DataFrame — the
+    shipped entry point for pre-materialized crawls, in particular a
+    url-bucketed table (sources/bucketed.write_bucketed →
+    read_bucketed): the scan's hash-clustered output partitioning already
+    satisfies the salted unique-url aggregate's distribution (Spark's
+    subset rule: HashPartitioning(url) clusters (url, salt) too), so the
+    suite's ONE shuffle exchange disappears — the pre-paid write-time
+    shuffle pays off on every recurring validation run
+    (tests/test_bucketed.py pins the plan on this exact path)."""
     v, deps = pages_validator(spark, **kwargs)
     deps["baseline_stats"] = baseline if baseline is not None \
         else make_baseline(pages, replicas, deps["iso_lang"])
     v.provide(**deps)
     # html and the extracted copy are dead after the extraction rule — keep
     # them out of the persisted frame (dominant cost at scale)
-    return pages, v.validate(pages, persist_drop=["html", "extracted_text"])
+    return v.validate(pages, persist_drop=["html", "extracted_text"])
