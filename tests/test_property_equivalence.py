@@ -10,7 +10,9 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import pandas as pd
 from hypothesis import HealthCheck, given, settings
+from pyspark.sql import functions as F
 from hypothesis import strategies as st
 
 from sparkcheck import FieldConstraint, build_validator
@@ -74,8 +76,56 @@ class EnRule:
     required: bool
 
 
+@dataclass(frozen=True)
+class ArrRule:
+    """Array membership + ordered aggregate message (C9 in miniature):
+    dim rows are (k, okflag, label); an item is an offender when its dim
+    okflag is False, or when it is missing from the dim (incl. NULL items)
+    and missing_ok is False. Message = prefix + offender parts joined ', '
+    in array position order; a missing offender's part is the literal
+    'null' (Spark's format_string renders NULL arguments as 'null', it does
+    not return NULL — the interpreter mirrors that exactly)."""
+
+    dim: tuple[tuple[int, bool, str], ...]
+    missing_ok: bool
+    global_error: bool
+
+
+@dataclass(frozen=True)
+class PdRule:
+    """CustomPandasRule in miniature: the same tri-state predicate as
+    SimpleCheck but evaluated INSIDE an Arrow-batched pandas UDF (the
+    engine's escape-hatch path: make_check adds a derived column, failed =
+    NOT coalesce(ok, FALSE))."""
+
+    col: str
+    op: str
+    lit: int
+    key: str
+
+
 def eval_rule_py(rule, i: int, r: dict):
     """One rule's emissions under the reference loop semantics."""
+    if isinstance(rule, ArrRule):
+        d = {k: (flag, label) for k, flag, label in rule.dim}
+        parts: list[str] = []
+        failed = False
+        for item in (r["arr"] or []):
+            if item is not None and item in d:
+                flag, label = d[item]
+                if not flag:
+                    failed = True
+                    parts.append(label)
+            elif not rule.missing_ok:
+                failed = True
+                parts.append("null")
+        if not failed:
+            return []
+        key = None if rule.global_error else "arr"
+        return [(key, f"arr{i}: " + ", ".join(parts))]
+    if isinstance(rule, PdRule):
+        ok = eval_py(SimpleCheck(rule.col, rule.op, rule.lit, rule.key), r)
+        return [] if ok is True else [(rule.key, f"pd{i}")]
     if isinstance(rule, EnRule):
         v = r[rule.col]
         hit = v is not None and v in rule.dim
@@ -102,7 +152,7 @@ def interpret(rows, constraints, rules):
     [(key, message), ...])."""
     from collections import Counter
 
-    rws = [dict(zip(["rowid"] + COLS, row)) for row in rows]
+    rws = [dict(zip(["rowid"] + COLS + ["arr"], row)) for row in rows]
     state: dict = {}
     alive = []
     for r in rws:
@@ -151,7 +201,9 @@ check_st = st.builds(
 )
 
 rows_st = st.lists(
-    st.tuples(*[st.one_of(st.none(), st.integers(-3, 3)) for _ in COLS]),
+    st.tuples(*([st.one_of(st.none(), st.integers(-3, 3)) for _ in COLS]
+                + [st.lists(st.one_of(st.none(), st.integers(-3, 3)),
+                            max_size=3)])),
     min_size=1, max_size=12)
 
 ref_rule_st = st.builds(
@@ -168,8 +220,23 @@ enrich_rule_st = st.builds(
     dim=st.sets(st.integers(-3, 3), min_size=1, max_size=4).map(tuple),
     required=st.booleans())
 
+arr_rule_st = st.builds(
+    ArrRule,
+    dim=st.dictionaries(st.integers(-3, 3), st.booleans(),
+                        min_size=1, max_size=4)
+        .map(lambda d: tuple(sorted((k, v, f"L{k}") for k, v in d.items()))),
+    missing_ok=st.booleans(),
+    global_error=st.booleans())
+
+pd_rule_st = st.builds(
+    PdRule,
+    col=st.sampled_from(COLS),
+    op=st.sampled_from(OPS + ["not_null"]),
+    lit=st.integers(-3, 3),
+    key=st.sampled_from(COLS))
+
 rule_st = st.one_of(st.lists(check_st, min_size=1, max_size=2), ref_rule_st,
-                    uniq_rule_st, enrich_rule_st)
+                    uniq_rule_st, enrich_rule_st, arr_rule_st, pd_rule_st)
 
 
 @settings(max_examples=12, deadline=None,
@@ -182,10 +249,37 @@ def test_engine_equals_naive_interpreter(spark, rows, constraints, rules):
     _assert_engine_equals_interpreter(spark, rows, constraints, rules)
 
 
+def _pd_make_check(pdr: PdRule, i: int):
+    """make_check for the generated CustomPandasRule: the predicate runs in
+    an Arrow-batched pandas UDF, NULL operand → NULL ok → failure (matching
+    compile.check_fired's coalesce-to-False)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def make(df, deps):
+        @pandas_udf("boolean")
+        def ok(s: pd.Series) -> pd.Series:
+            if pdr.op == "not_null":
+                return s.notna()
+            res = {"<=": s <= pdr.lit, ">=": s >= pdr.lit,
+                   "==": s == pdr.lit, "!=": s != pdr.lit}[pdr.op]
+            return res.mask(s.isna(), None)
+        df = df.withColumn(f"_pdok{i}", ok(F.col(pdr.col)))
+        failed = ~F.coalesce(F.col(f"_pdok{i}"), F.lit(False))
+        return df, failed, pdr.key, F.lit(f"pd{i}"), F.col(pdr.col)
+    return make
+
+
 def _assert_engine_equals_interpreter(spark, rows, constraints, rules):
-    from sparkcheck.model import ReferentialRule
+    from sparkcheck.model import ArrayAllRule, CustomPandasRule, \
+        ReferentialRule
+
+    # rows may predate the arr column (older deterministic tests): pad
+    rows = [r if len(r) == len(COLS) + 1 else r + ([],) for r in rows]
     data = [(i,) + r for i, r in enumerate(rows)]
-    df = spark.createDataFrame(data, "rowid int, a int, b int, c int")
+    sdata = [(i,) + r[:len(COLS)]
+             + ([(v,) for v in r[len(COLS)]],) for i, r in enumerate(rows)]
+    df = spark.createDataFrame(
+        sdata, "rowid int, a int, b int, c int, arr array<struct<k:int>>")
 
     v = build_validator().input(constraints=[
         FieldConstraint(c.key, to_sql(c), f"schema:{c.col}{c.op}{c.lit}")
@@ -209,6 +303,20 @@ def _assert_engine_equals_interpreter(spark, rows, constraints, rules):
             v = v.rule(ReferentialRule(id=f"rule-{i}", col=rule.col,
                                        dim=dim_name, dim_key="k",
                                        anti=rule.anti, message=f"ref{i}"))
+        elif isinstance(rule, ArrRule):
+            dim_name = f"adim{i}"
+            deps[dim_name] = spark.createDataFrame(
+                list(rule.dim), "ak int, okflag boolean, label string")
+            v = v.rule(ArrayAllRule(
+                id=f"rule-{i}", items_col="arr", item_key="k",
+                dim=dim_name, dim_key="ak", flag_col="okflag",
+                item_fmt="%s", fmt_cols=["label"],
+                message_prefix=f"arr{i}: ",
+                global_error=rule.global_error,
+                missing_ok=rule.missing_ok))
+        elif isinstance(rule, PdRule):
+            v = v.rule(CustomPandasRule(id=f"rule-{i}",
+                                        make_check=_pd_make_check(rule, i)))
         else:
             v = v.rule(FieldRule(id=f"rule-{i}", checks=[
                 Check(ok_expr=to_sql(c), key=c.key, message=f"r{i}c{j}")
@@ -252,3 +360,32 @@ def test_enrich_required_miss_fails_optional_does_not(spark):
         spark, rows, [], [EnRule("a", (2,), True)])
     _assert_engine_equals_interpreter(
         spark, rows, [], [EnRule("a", (2,), False)])
+
+
+def test_array_all_offender_message_and_missing_semantics(spark):
+    """Deterministic C9 regression: flagged-False items aggregate labels in
+    position order; a missing item fails the row and contributes the
+    literal 'null' part (format_string renders NULL args as 'null'); with
+    missing_ok=True the missing item passes."""
+    rows = [(0, 0, 0, [2, -1, 3]),   # -1 flagged False, 3 missing
+            (0, 0, 0, [2]),          # all ok
+            (0, 0, 0, [])]           # empty array → pass
+    dim = ((-1, False, "L-1"), (2, True, "L2"))
+    _assert_engine_equals_interpreter(
+        spark, rows, [], [ArrRule(dim, missing_ok=False, global_error=True)])
+    _assert_engine_equals_interpreter(
+        spark, rows, [], [ArrRule(dim, missing_ok=True, global_error=False)])
+    # interpreter spot-check: offender labels join in position order,
+    # missing offender adds no label
+    out = interpret([(0, 0, 0, 0, [3, -1, -1])], [],
+                    [ArrRule(dim, False, True)])
+    assert out == [(0, False, "rules", 0,
+                    ((None, "arr0: null, L-1, L-1"),))]
+
+
+def test_custom_pandas_rule_matches_interpreter(spark):
+    """Deterministic CustomPandasRule regression: Arrow-batched predicate,
+    NULL operand → failure, fail-fast ordering with a later rule."""
+    rows = [(2, 0, 0), (None, 0, 0), (-3, 0, 0)]
+    _assert_engine_equals_interpreter(
+        spark, rows, [], [PdRule("a", ">=", 0, "a"), UniqRule("b")])
