@@ -19,7 +19,7 @@ def get_spark(cores: int | None = None, app: str = "sparkcheck",
     if shuffle_partitions is None:
         # proportional-to-cores policy (BASELINE.md protocol)
         shuffle_partitions = max(cores * 2, 8)
-    return (
+    builder = (
         SparkSession.builder
         .master(f"local[{cores}]")
         .appName(app)
@@ -42,5 +42,24 @@ def get_spark(cores: int | None = None, app: str = "sparkcheck",
         .config("spark.driver.extraJavaOptions", "-Xms12g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
     )
+    # Iceberg runtime wiring (tests/test_iceberg.py un-skips when present):
+    # point SPARKCHECK_ICEBERG_JAR at the runtime jar fetched by
+    # scripts/fetch_iceberg.sh — this sandbox has no network (probe
+    # documented in that script), but the same env var makes the round-trip
+    # tests reproducible on any connected machine with zero code changes.
+    jar = os.environ.get("SPARKCHECK_ICEBERG_JAR")
+    if jar:
+        wh = os.environ.get("SPARKCHECK_ICEBERG_WAREHOUSE",
+                            "/tmp/sparkcheck-warehouse")
+        builder = (
+            builder
+            .config("spark.jars", jar)
+            .config("spark.sql.extensions",
+                    "org.apache.iceberg.spark.extensions."
+                    "IcebergSparkSessionExtensions")
+            .config("spark.sql.catalog.crawl",
+                    "org.apache.iceberg.spark.SparkCatalog")
+            .config("spark.sql.catalog.crawl.type", "hadoop")
+            .config("spark.sql.catalog.crawl.warehouse", wh))
+    return builder.getOrCreate()

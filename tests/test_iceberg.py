@@ -42,9 +42,10 @@ def test_iceberg_read_smoke(spark, tmp_path):
     """Full Iceberg write/read/snapshot-pin smoke — runs only with the
     runtime jars on the classpath."""
     if not iceberg_available(spark):
-        pytest.skip("Iceberg runtime jars not on the classpath in this "
-                    "sandbox (add --packages org.apache.iceberg:"
-                    "iceberg-spark-runtime to enable)")
+        pytest.skip("Iceberg runtime jars not on the classpath (this "
+                    "sandbox has no network — see scripts/fetch_iceberg.sh "
+                    "for the pinned recipe; set SPARKCHECK_ICEBERG_JAR to "
+                    "run un-skipped)")
     src = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
     table = "iceberg_smoke"
     src.writeTo(table).using("iceberg").createOrReplace()
@@ -65,10 +66,10 @@ def test_iceberg_store_roundtrip(spark, tmp_path):
     """write → resume → reconcile over Iceberg tables, mirroring
     test_manifest_resume — runs only with the runtime jars + a catalog."""
     if not iceberg_available(spark):
-        pytest.skip("Iceberg runtime jars not on the classpath in this "
-                    "sandbox (add --packages org.apache.iceberg:"
-                    "iceberg-spark-runtime + --conf spark.sql.catalog.* "
-                    "to enable)")
+        pytest.skip("Iceberg runtime jars not on the classpath (this "
+                    "sandbox has no network — see scripts/fetch_iceberg.sh; "
+                    "SPARKCHECK_ICEBERG_JAR wires the jar AND the `crawl` "
+                    "hadoop catalog this test's namespace expects)")
     import os
 
     from pyspark.sql import functions as F
