@@ -218,6 +218,35 @@ def q_dedup_fuzzy_drop_list(spark, sf_dir):
                                  threshold=0.8)
 
 
+def q_dedup_clean(spark, sf_dir):
+    """The composed dedup WRITE: exact dedup, then fuzzy over the exact
+    survivors, emitting the surviving rows — what a pipeline persists."""
+    clean = dedup.dedup_clean(_pages(spark, sf_dir), id_col="rid",
+                              threshold=0.8)
+    return clean.select("rid", F.sha2(F.col("text"), 256).alias("text_sha"))
+
+
+def q_token_topk(spark, sf_dir):
+    """Vocabulary heavy hitters (explode → map-side-combining count →
+    TakeOrdered; deterministic tie-break)."""
+    return textstats.token_topk(_docs(spark, sf_dir), k=50)
+
+
+def q_url_normalize(spark, sf_dir):
+    """URL canonicalization over deterministically-noised urls (upper-cased
+    authority, utm params, fragments — injected by rid arithmetic identical
+    in both engines)."""
+    from sparkcheck.functions.urlnorm import normalize_url
+    pages = _pages(spark, sf_dir)
+    noisy = F.concat(
+        F.when(F.col("rid") % 7 == 0, F.upper(F.col("url")))
+         .otherwise(F.col("url")),
+        F.when(F.col("rid") % 3 == 0,
+               F.lit("?utm_source=feed&utm_campaign=x")).otherwise(F.lit("")),
+        F.when(F.col("rid") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")))
+    return pages.select("rid", normalize_url(noisy).alias("url_norm"))
+
+
 def q_cosine_scores(spark, sf_dir):
     return similarity.cosine_scores(_emb(spark, sf_dir), [0, 1, 2, 3, 4])
 
@@ -387,6 +416,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_candidates": q_dedup_minhash_candidates,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_fuzzy_drop_list": q_dedup_fuzzy_drop_list,
+        "dedup_clean": q_dedup_clean,
+        "token_topk": q_token_topk,
+        "url_normalize": q_url_normalize,
         "cosine_scores": q_cosine_scores,
         "media_metadata": q_media_metadata,
         "frame_sample": q_frame_sample,
@@ -433,6 +465,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_candidates": oracle.dedup_minhash_candidates(),
         "dedup_jaccard": oracle.dedup_jaccard(),
         "dedup_fuzzy_drop_list": oracle.dedup_fuzzy_drop_list(),
+        "dedup_clean": oracle.dedup_clean(),
+        "token_topk": oracle.token_topk(),
+        "url_normalize": oracle.url_normalize(),
         "cosine_scores": oracle.cosine_scores(),
         "media_metadata": oracle.media_metadata(),
         "frame_sample": oracle.frame_sample(),

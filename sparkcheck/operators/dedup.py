@@ -304,6 +304,32 @@ def fuzzy_drop_list(df: DataFrame, id_col: str, text_col: str = "text",
                 .select("id", F.col("component").alias("keep_id")))
 
 
+def dedup_clean(df: DataFrame, id_col: str, text_col: str = "text",
+                threshold: float = 0.8, variant: str = "md5",
+                owner: list | None = None) -> DataFrame:
+    """THE dedup write, composed end-to-end the way a training-data pipeline
+    runs it: exact dedup first (O(n) hash agg — catches mass duplication the
+    LSH bucket cap deliberately skips), then fuzzy dedup over the exact
+    survivors (MinHash→Jaccard→connected components). Returns the SURVIVING
+    rows of `df` (anti-join of both drop lists), i.e. what the pipeline
+    would write out.
+
+    Ordering matters at scale: running fuzzy on exact-survivors shrinks the
+    candidate universe by the duplication factor and keeps identical-text
+    groups from re-pairing inside LSH buckets.
+
+    NOTE eager (inherited from fuzzy_drop_list): the component loop runs
+    Spark jobs at call time."""
+    survivors = df.join(exact_drop_list(df, id_col, text_col)
+                        .select(F.col("id").alias(id_col)),
+                        on=id_col, how="left_anti")
+    fuzzy = fuzzy_drop_list(survivors, id_col, text_col,
+                            threshold=threshold, variant=variant,
+                            owner=owner)
+    return survivors.join(fuzzy.select(F.col("id").alias(id_col)),
+                          on=id_col, how="left_anti")
+
+
 def simhash_bits(text_col: str = "text", bits: int = 32):
     """SimHash as pure SQL: per token t, md5(t) supplies `bits` hex nibbles;
     bit_i = (nibble_i & 1). Weighted sum over tokens per bit → sign →

@@ -131,3 +131,21 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
     return (df.filter(F.col(text_col).isNotNull())
               .select("doc_id", fp.alias("fp")))
+
+
+def token_topk(df: DataFrame, k: int = 50, text_col: str = "text") \
+        -> DataFrame:
+    """Vocabulary heavy hitters: the k most frequent whitespace tokens over
+    the corpus — (token, cnt), count desc then token asc (the tie-break
+    makes the cut deterministic cross-engine).
+
+    Scale shape: explode → map-side-combining hash count (vocabulary ≪
+    corpus after partials) → orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition top-k merged on the driver, no
+    full sort). Empty-string tokens (from split on '' / leading separators)
+    are counted like any other token — both engines split identically."""
+    toks = (df.filter(F.col(text_col).isNotNull())
+              .select(F.explode(F.split(F.col(text_col), " "))
+                      .alias("token")))
+    return (toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("token")).limit(k))

@@ -242,8 +242,9 @@ FROM pages p JOIN g ON md5(p.text) = g.text_hash
 WHERE p.text IS NOT NULL AND p.rid <> g.keep_id"""
 
 
-def _minhash_cte(k: int = 8, bands: int = 4, max_bucket: int = 200) -> str:
-    """Shared minhash CTEs over pages (DuckDB): shingles → k md5-min sigs →
+def _minhash_cte(k: int = 8, bands: int = 4, max_bucket: int = 200,
+                 src: str = "pages") -> str:
+    """Shared minhash CTEs over `src` (DuckDB): shingles → k md5-min sigs →
     band buckets → pair-eligible buckets (2..max_bucket members, mirroring
     the engine's bucket-size cap). Matches operators/dedup.py byte-for-byte
     (md5 hex min)."""
@@ -263,7 +264,7 @@ sh AS (
       list_transform(range(1, len(string_split(text,' ')) - 1),
                      i -> array_to_string(string_split(text,' ')[i:i+2], ' '))
     ELSE [text] END AS sh
-  FROM pages WHERE text IS NOT NULL),
+  FROM {src} WHERE text IS NOT NULL),
 sigs AS (SELECT id, {sigs} FROM sh),
 bb_all AS ({bucket_rows}),
 bb AS (
@@ -325,6 +326,70 @@ reach AS (
   SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
 lbl AS (SELECT id, MIN(r) AS keep_id FROM reach GROUP BY id)
 SELECT id, keep_id FROM lbl WHERE id <> keep_id"""
+
+
+def dedup_clean(threshold: float = 0.8) -> str:
+    """The composed dedup write (operators/dedup.dedup_clean): exact dedup
+    first, fuzzy (candidates → Jaccard edges → recursive-CTE components)
+    over the exact survivors, emit surviving rows (rid, text_sha)."""
+    return f"""WITH RECURSIVE pages AS ({pages_cte('duckdb', REPLICAS)}),
+xg AS (SELECT md5(text) AS text_hash, min(rid) AS keep_id
+       FROM pages WHERE text IS NOT NULL
+       GROUP BY 1 HAVING count(*) > 1),
+xdrop AS (
+  SELECT p.rid AS id FROM pages p JOIN xg ON md5(p.text) = xg.text_hash
+  WHERE p.text IS NOT NULL AND p.rid <> xg.keep_id),
+surv AS (SELECT * FROM pages p
+         WHERE NOT EXISTS (SELECT 1 FROM xdrop d WHERE d.id = p.rid)),
+{_minhash_cte(src='surv')}
+, cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+                      AND a.id < b.id),
+shd AS (SELECT id, list_distinct(sh) AS sh FROM sh),
+jac AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN shd x ON c.id_a = x.id JOIN shd y ON c.id_b = y.id
+  WHERE FLOOR((CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(x.sh, y.sh)))) * 10000 + 0.5)
+        / 10000.0 >= {threshold}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM jac
+          UNION SELECT id_b, id_a FROM jac),
+reach AS (
+  SELECT src AS id, dst AS r FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+fdrop AS (SELECT id FROM (SELECT id, MIN(r) AS keep_id FROM reach
+                          GROUP BY id) WHERE id <> keep_id)
+SELECT s.rid, sha256(s.text) AS text_sha FROM surv s
+WHERE NOT EXISTS (SELECT 1 FROM fdrop f WHERE f.id = s.rid)"""
+
+
+def token_topk(k: int = 50) -> str:
+    """Vocabulary heavy hitters over documents — count desc, token asc so
+    the limit cut is deterministic cross-engine."""
+    return f"""
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
+           FROM documents WHERE text IS NOT NULL)
+SELECT token, count(*) AS cnt FROM t GROUP BY 1
+ORDER BY cnt DESC, token LIMIT {k}"""
+
+
+# deterministic noise injected over the clean synthetic urls so the
+# normalization has something to normalize — SAME expression both engines
+NOISY_URL_SQL = ("(CASE WHEN rid % 7 = 0 THEN upper(url) ELSE url END || "
+                 "CASE WHEN rid % 3 = 0 "
+                 "THEN '?utm_source=feed&utm_campaign=x' ELSE '' END || "
+                 "CASE WHEN rid % 5 = 0 THEN '#frag' ELSE '' END)")
+
+
+def url_normalize() -> str:
+    """functions/urlnorm oracle: identical regex pipeline (RE2-safe, 'g'
+    flag restores Spark's replace-all) over the deterministically-noised
+    urls; non-URL rows (notaurl:) pass through by construction."""
+    from .functions.urlnorm import normalize_url_sql
+    return f"""WITH pages AS ({pages_cte('duckdb', REPLICAS)})
+SELECT rid, {normalize_url_sql(NOISY_URL_SQL)} AS url_norm FROM pages"""
 
 
 def cosine_scores(query_ids=(0, 1, 2, 3, 4)) -> str:
