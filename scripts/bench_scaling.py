@@ -199,8 +199,21 @@ bottleneck of its own beyond fixed per-job driver time.
 - Pinned: Python {platform.python_version()}, {platform.platform()}.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH/BASELINE.md"), "w") as f:
-        f.write(md)
+    # preserve hand-written analysis/addenda sections from a previous run:
+    # everything from the first '## Efficiency analysis' or '## Addendum'
+    # heading onward is re-appended after the regenerated measurement body
+    path = os.path.join(REPO, "BENCH/BASELINE.md")
+    tail = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            old = f.read()
+        idx = min((i for i in (old.find("## Efficiency analysis"),
+                               old.find("## Addendum")) if i >= 0),
+                  default=-1)
+        if idx >= 0:
+            tail = old[idx:]
+    with open(path, "w") as f:
+        f.write(md + ("\n" + tail if tail else ""))
     print(f"primary efficiency: {eff:.2f} (ceiling {ctl['ceiling']:.2f}) "
           f"→ BENCH/BASELINE.md")
     return 0
