@@ -380,6 +380,42 @@ def q_url_host_skew_stats(spark, sf_dir):
     return skew_stats(_pages(spark, sf_dir), host, key_name="host")
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher/MassiveText-style document-quality gate (word count, mean word
+    length, alpha-word fraction, stopword hits → pass/fail)."""
+    from sparkcheck.operators import quality
+    return quality.gopher_quality(_docs(spark, sf_dir))
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Repetition signals: top-2-gram fraction + duplicate-token fraction
+    (explode → map-side-combining (doc_id, ngram) count — the codegen
+    formulation, not interpreted array lambdas)."""
+    from sparkcheck.operators import quality
+    return quality.repetition_stats(_docs(spark, sf_dir))
+
+
+def q_pii_scan(spark, sf_dir):
+    """PII detectors (email / IPv4 / phone regexes, RE2 ∩ Java) over
+    deterministically-injected noise — the synthetic corpus contains no PII,
+    so the injection (doc-id arithmetic, rendered identically in SQL by
+    quality.pii_noise_sql) is what makes the counts non-trivial."""
+    from sparkcheck.operators import quality
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", quality.pii_noise("text", "doc_id"))
+    return quality.pii_scan(docs)
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: distinct word-n-gram overlap between each
+    corpus doc and a modulo-selected benchmark sample (broadcast benchmark
+    gram set; n/modulo constants shared with the oracle via quality.py)."""
+    from sparkcheck.operators import quality
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % quality.DECON_MOD == 0)
+    return quality.decontaminate(docs, bench, n=quality.DECON_N)
+
+
 # --- rows-only (engine-specific by nature; pytest-verified) ------------------
 
 
@@ -433,6 +469,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "hot_url_hosts": q_hot_url_hosts,
         "url_host_skew_stats": q_url_host_skew_stats,
+        "gopher_quality": q_gopher_quality,
+        "repetition_stats": q_repetition_stats,
+        "pii_scan": q_pii_scan,
+        "decontaminate": q_decontaminate,
         # rows-only check (keyed by spark_partition_id — engine-specific by
         # nature, no SQL-expressible oracle; pytest-verified)
         "partition_stats": q_partition_stats,
@@ -482,4 +522,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": oracle.ann_ivf_topk(),
         "hot_url_hosts": oracle.hot_url_hosts(),
         "url_host_skew_stats": oracle.url_host_skew_stats(),
+        "gopher_quality": oracle.gopher_quality(),
+        "repetition_stats": oracle.repetition_stats(),
+        "pii_scan": oracle.pii_scan(),
+        "decontaminate": oracle.decontaminate(),
     }

@@ -746,3 +746,111 @@ def numeric_quantiles(probs=(0.25, 0.5, 0.75, 0.95)) -> str:
         f"FROM events"
         for p in probs]
     return " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Web-text quality operators (operators/quality.py)
+# ---------------------------------------------------------------------------
+
+
+def gopher_quality(min_words: int = 50, max_words: int = 100_000,
+                   min_mwl: float = 3.0, max_mwl: float = 10.0,
+                   min_alpha_frac: float = 0.8,
+                   min_stop_hits: int = 2) -> str:
+    """Gopher-style quality gate (operators/quality.gopher_quality): same
+    scalar mean-word-length formulation, same single list_filter per rule,
+    thresholds compared on the UNROUNDED doubles (both engines compute
+    bit-identical IEEE doubles from identical ints)."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n
+  FROM documents WHERE text IS NOT NULL),
+m AS (
+  SELECT doc_id, n,
+    (length(text) - (len(toks) - 1)) / n AS mwl,
+    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) / n AS alpha,
+    len(list_filter(toks, x -> list_contains({EN_STOPWORDS}, x))) AS hits
+  FROM t)
+SELECT doc_id,
+  CAST(n AS INT) AS n_words,
+  FLOOR(mwl * 10000 + 0.5) / 10000.0 AS mean_word_len,
+  FLOOR(alpha * 10000 + 0.5) / 10000.0 AS alpha_word_frac,
+  CAST(hits AS INT) AS stop_hits,
+  (n >= {min_words} AND n <= {max_words}
+   AND mwl >= {min_mwl} AND mwl <= {max_mwl}
+   AND alpha >= {min_alpha_frac} AND hits >= {min_stop_hits}) AS gopher_pass
+FROM m"""
+
+
+def _gram_expr(n: int) -> str:
+    """DuckDB n-gram list over `toks` — range() is end-exclusive and yields
+    [] when the doc is shorter than n (Spark side needs an explicit guard;
+    quality._ngram_array documents the sequence(1,0) count-DOWN trap)."""
+    parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    return f"list_transform(range(1, len(toks) - {n} + 2), i -> {parts})"
+
+
+def repetition_stats() -> str:
+    """Repetition signals (operators/quality.repetition_stats): 2-gram mode
+    fraction + duplicate-token fraction; docs with <2 tokens drop out of
+    both engines (explode / unnest of an empty list)."""
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents WHERE text IS NOT NULL),
+b AS (SELECT doc_id, len(toks) AS n_toks,
+             len(list_distinct(toks)) AS n_dist,
+             unnest({_gram_expr(2)}) AS ngram
+      FROM t),
+g AS (SELECT doc_id, ngram, count(*) AS cnt,
+             max(n_toks) AS n_toks, max(n_dist) AS n_dist
+      FROM b GROUP BY doc_id, ngram),
+a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_2grams,
+             max(cnt) AS max_2gram_cnt,
+             max(n_toks) AS n_toks, max(n_dist) AS n_dist
+      FROM g GROUP BY doc_id)
+SELECT doc_id, n_2grams, max_2gram_cnt,
+  FLOOR((max_2gram_cnt / CAST(n_2grams AS DOUBLE)) * 10000 + 0.5) / 10000.0
+    AS top_2gram_frac,
+  FLOOR((1 - n_dist / CAST(n_toks AS DOUBLE)) * 10000 + 0.5) / 10000.0
+    AS dup_token_frac
+FROM a"""
+
+
+def pii_scan() -> str:
+    """PII detectors over the deterministically-noised corpus
+    (quality.pii_noise_sql renders the identical injection; patterns are
+    the shared module constants — RE2 ∩ Java regex)."""
+    from .operators.quality import (PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE,
+                                    pii_noise_sql)
+    noisy = pii_noise_sql("text", "doc_id")
+    cnt = {p: f"CAST(len(regexp_extract_all(text, '{pat}')) AS INT)"
+           for p, pat in [("e", PII_EMAIL_RE), ("i", PII_IPV4_RE),
+                          ("p", PII_PHONE_RE)]}
+    return f"""
+WITH t AS (SELECT doc_id, {noisy} AS text
+           FROM documents WHERE text IS NOT NULL)
+SELECT doc_id,
+  {cnt['e']} AS n_emails,
+  {cnt['i']} AS n_ipv4,
+  {cnt['p']} AS n_phones,
+  ({cnt['e']} + {cnt['i']} + {cnt['p']}) > 0 AS has_pii
+FROM t"""
+
+
+def decontaminate(n: int | None = None, bench_mod: int | None = None) -> str:
+    """Benchmark decontamination (operators/quality.decontaminate): corpus
+    docs sharing ≥1 distinct word n-gram with the modulo-selected benchmark
+    set; benchmark docs themselves are excluded from the corpus side."""
+    from .operators.quality import DECON_MOD, DECON_N
+    n = DECON_N if n is None else n
+    bench_mod = DECON_MOD if bench_mod is None else bench_mod
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents WHERE text IS NOT NULL),
+g AS (SELECT doc_id, unnest({_gram_expr(n)}) AS gram FROM t),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {bench_mod} = 0),
+corp AS (SELECT doc_id, gram FROM g WHERE doc_id % {bench_mod} <> 0)
+SELECT c.doc_id AS doc_id, count(DISTINCT c.gram) AS n_shared
+FROM corp c JOIN bench b USING (gram)
+GROUP BY c.doc_id"""

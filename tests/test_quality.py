@@ -1,0 +1,124 @@
+"""Unit tests for operators/quality.py on crafted inputs: known-answer
+checks for each operator plus plan-shape pins for the decontamination
+broadcast (the scale contract)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkcheck.operators import quality
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_gopher_quality_known_answer(spark):
+    # 60 stopword-rich words → pass; 5 words → fail (min_words);
+    # long-token doc → fail (mean word length)
+    # mean word length (23+1·6−6)/6·… — letters only: (3+4+5+4+1+6)/6 ≈ 3.83
+    good = " ".join(["the", "lion", "rests", "upon", "a", "carpet"] * 10)
+    short = "tiny doc of few words"
+    longtok = " ".join(["incomprehensibilities"] * 60)
+    out = {r["doc_id"]: r.asDict() for r in quality.gopher_quality(
+        _docs(spark, [(1, good), (2, short), (3, longtok)])).collect()}
+    assert out[1]["gopher_pass"] and out[1]["n_words"] == 60
+    assert out[1]["stop_hits"] == 20  # 'the'(10) + 'a'(10)
+    assert not out[2]["gopher_pass"] and out[2]["n_words"] == 5
+    assert not out[3]["gopher_pass"]
+    assert out[3]["mean_word_len"] == 21.0
+
+
+def test_gopher_quality_alpha_fraction(spark):
+    # 3 of 60 words contain a letter → alpha 0.05 → fail on that axis alone
+    nums = " ".join((["123"] * 19 + ["abc"]) * 3)
+    r = quality.gopher_quality(_docs(spark, [(1, nums)]),
+                               min_words=10).collect()[0]
+    assert r["alpha_word_frac"] == 0.05
+    assert not r["gopher_pass"]
+
+
+def test_repetition_stats_known_answer(spark):
+    # "a b a b a b": 2-grams = [a b, b a, a b, b a, a b] → n=5, max=3
+    r = quality.repetition_stats(_docs(spark, [(1, "a b a b a b")])) \
+        .collect()[0]
+    assert r["n_2grams"] == 5
+    assert r["max_2gram_cnt"] == 3
+    assert r["top_2gram_frac"] == 0.6
+    # dup_token_frac = 1 - 2/6
+    assert r["dup_token_frac"] == 0.6667
+
+
+def test_repetition_stats_short_doc_excluded(spark):
+    # single-token doc has no 2-grams → dropped, matching the oracle's unnest
+    out = quality.repetition_stats(
+        _docs(spark, [(1, "solo"), (2, "two tokens")])).collect()
+    assert {r["doc_id"] for r in out} == {2}
+
+
+def test_pii_scan_counts(spark):
+    rows = [
+        (1, "write to alice@example.com or bob.smith@mail.co today"),
+        (2, "server 10.0.0.1 and 192.168.1.255 up"),
+        (3, "call 555-0199 now"),
+        (4, "clean text with no identifiers at all"),
+    ]
+    out = {r["doc_id"]: r.asDict()
+           for r in quality.pii_scan(_docs(spark, rows)).collect()}
+    assert out[1]["n_emails"] == 2 and out[1]["has_pii"]
+    assert out[2]["n_ipv4"] == 2 and out[2]["n_emails"] == 0
+    assert out[3]["n_phones"] == 1
+    assert not out[4]["has_pii"]
+    assert out[4]["n_emails"] == out[4]["n_ipv4"] == out[4]["n_phones"] == 0
+
+
+def test_decontaminate_overlap_and_exclusion(spark):
+    # doc 10 copies a benchmark 3-gram run; doc 11 shares nothing; the
+    # benchmark doc itself must not appear on the corpus side
+    docs = _docs(spark, [
+        (0, "alpha beta gamma delta epsilon"),          # benchmark (id%2==0… selected below)
+        (10, "x y alpha beta gamma z"),                  # 1 shared 3-gram
+        (11, "p q r s t u v"),                           # no overlap
+    ])
+    bench = docs.filter(F.col("doc_id") == 0)
+    out = {r["doc_id"]: r["n_shared"]
+           for r in quality.decontaminate(docs, bench, n=3).collect()}
+    assert out == {10: 1}
+
+
+def test_decontaminate_counts_distinct_grams(spark):
+    # repeated shared gram counts once (DISTINCT), two different shared
+    # grams count twice
+    docs = _docs(spark, [
+        (0, "a b c d e"),
+        (10, "a b c a b c"),     # shares 'a b c' (twice) → 1 distinct
+        (11, "b c d x c d e"),   # shares 'b c d' and 'c d e' → 2
+    ])
+    bench = docs.filter(F.col("doc_id") == 0)
+    out = {r["doc_id"]: r["n_shared"]
+           for r in quality.decontaminate(docs, bench, n=3).collect()}
+    assert out == {10: 1, 11: 2}
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark):
+    """Scale contract: the benchmark gram set joins as a BROADCAST hash join
+    (benchmark is the bounded side; the corpus scan must never shuffle for
+    it) and no cartesian product appears."""
+    docs = _docs(spark, [(i, f"w{i} w{i+1} w{i+2} w{i+3}")
+                         for i in range(20)])
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    plan = quality.decontaminate(docs, bench, n=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_array_guard_under_n(spark):
+    """Docs shorter than n yield [] — Spark's sequence(1, 0) counts DOWN,
+    so the guard is load-bearing."""
+    df = _docs(spark, [(1, "one"), (2, "one two"), (3, "one two three")])
+    toks = F.split(F.col("text"), " ")
+    out = {r["doc_id"]: r["g"] for r in df.select(
+        "doc_id", quality._ngram_array(toks, 3).alias("g")).collect()}
+    assert out[1] == [] and out[2] == []
+    assert out[3] == ["one two three"]
