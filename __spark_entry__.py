@@ -416,6 +416,38 @@ def q_decontaminate(spark, sf_dir):
     return quality.decontaminate(docs, bench, n=quality.DECON_N)
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the events stream (one shuffle: the
+    window partition on user_id also satisfies the session-level groupBy's
+    clustering — no second exchange, plan-pinned)."""
+    from sparkcheck.operators.sessions import sessionize
+    return sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_asof_profile(spark, sf_dir):
+    """As-of join: each event picks the most recent profile update (every
+    20th event doubles as an update) at or before its timestamp. Engine:
+    union-then-window single-shuffle plan; oracle: DuckDB's native ASOF
+    JOIN — two independent formulations of the same semantics."""
+    from sparkcheck.operators.asof import asof_join
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    upd = (events.filter(F.col("event_id") % 20 == 0)
+                 .select("user_id", "ts",
+                         F.col("value").alias("asof_value")))
+    return asof_join(events, upd, on="user_id", ts_col="ts",
+                     left_cols=["event_id", "user_id"],
+                     right_cols=["asof_value"])
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified hash sample over documents.lang — the
+    data-mixing primitive (rates shared with the oracle via sampling.py)."""
+    from sparkcheck.operators import sampling
+    return sampling.stratified_hash_sample(
+        _docs(spark, sf_dir), "doc_id", "lang",
+        sampling.MIX_RATES, sampling.MIX_DEFAULT).select("doc_id", "lang")
+
+
 # --- rows-only (engine-specific by nature; pytest-verified) ------------------
 
 
@@ -473,6 +505,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "pii_scan": q_pii_scan,
         "decontaminate": q_decontaminate,
+        "sessionize": q_sessionize,
+        "asof_profile": q_asof_profile,
+        "stratified_sample": q_stratified_sample,
         # rows-only check (keyed by spark_partition_id — engine-specific by
         # nature, no SQL-expressible oracle; pytest-verified)
         "partition_stats": q_partition_stats,
@@ -526,4 +561,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": oracle.repetition_stats(),
         "pii_scan": oracle.pii_scan(),
         "decontaminate": oracle.decontaminate(),
+        "sessionize": oracle.sessionize(),
+        "asof_profile": oracle.asof_profile(),
+        "stratified_sample": oracle.stratified_sample(),
     }

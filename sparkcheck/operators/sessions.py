@@ -1,0 +1,57 @@
+"""Gap-based sessionization over an event stream — the classic batch
+companion to the streaming windowed aggregates (streaming/__init__.py): a
+new session starts when a user's inter-event gap exceeds `gap_s`.
+
+Scale shape: exactly ONE shuffle. The window functions (lag + running sum)
+hash-partition on the user key; the closing session-level aggregate groups
+by (user, session_seq), and HashPartitioning(user) already satisfies that
+clustering, so Catalyst plans NO second exchange (plan-pinned in
+tests/test_sessions_asof.py). Per-user state is a sort within the
+partition — skew is bounded by the busiest single user, the same bound any
+sessionizer has.
+
+Timestamps compare on unix MICROseconds (session tz is UTC, so Spark's
+unix_micros == DuckDB's epoch_us bit-for-bit); second-truncated epochs
+would disagree with the oracle on sub-second boundary gaps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_S = 21600  # 6h — the synthetic events average ~9h between a
+                       # user's events, so this yields real multi-event
+                       # sessions without collapsing everything to one
+
+
+def ts_micros(col) -> "F.Column":
+    """unix micros from a (possibly NTZ) timestamp: the NTZ→TZ cast is
+    instant-preserving under the UTC session tz, matching DuckDB's
+    naive-as-UTC epoch_us bit-for-bit."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
+def sessionize(df: DataFrame, user_col: str = "user_id",
+               ts_col: str = "ts", order_col: str = "event_id",
+               gap_s: int = SESSION_GAP_S) -> DataFrame:
+    """(user_id, session_seq, n_events, start_us, end_us, duration_us) —
+    one row per session; session_seq numbers a user's sessions from 1 in
+    time order. Ties on ts are broken by order_col so the numbering is
+    total and engine-independent."""
+    gap_us = int(gap_s) * 1_000_000
+    base = df.select(F.col(user_col).alias("user_id"),
+                     F.col(order_col).alias("_ord"),
+                     ts_micros(F.col(ts_col)).alias("ts_us"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "_ord")
+    prev = F.lag("ts_us").over(w)
+    new_s = F.when(prev.isNull() | ((F.col("ts_us") - prev) > gap_us),
+                   F.lit(1)).otherwise(F.lit(0))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = (base.withColumn("_new", new_s)
+             .withColumn("session_seq", F.sum("_new").over(run)))
+    return (s.groupBy("user_id", "session_seq")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.min("ts_us").alias("start_us"),
+                  F.max("ts_us").alias("end_us"))
+             .withColumn("duration_us", F.col("end_us") - F.col("start_us")))

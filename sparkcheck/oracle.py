@@ -854,3 +854,57 @@ corp AS (SELECT doc_id, gram FROM g WHERE doc_id % {bench_mod} <> 0)
 SELECT c.doc_id AS doc_id, count(DISTINCT c.gram) AS n_shared
 FROM corp c JOIN bench b USING (gram)
 GROUP BY c.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Sessionization / as-of join / deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+def sessionize(gap_s: int | None = None) -> str:
+    """Gap-based sessions (operators/sessions.sessionize): identical window
+    chain — lag → gap flag → running sum — on unix MICROseconds (UTC
+    session tz makes Spark unix_micros == DuckDB epoch_us)."""
+    from .operators.sessions import SESSION_GAP_S
+    gap_us = int(SESSION_GAP_S if gap_s is None else gap_s) * 1_000_000
+    return f"""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+l AS (SELECT *, lag(ts_us) OVER
+        (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
+n AS (SELECT *, CASE WHEN prev IS NULL OR ts_us - prev > {gap_us}
+                     THEN 1 ELSE 0 END AS nw FROM l),
+s AS (SELECT *, SUM(nw) OVER
+        (PARTITION BY user_id ORDER BY ts_us, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM n)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       count(*) AS n_events, min(ts_us) AS start_us, max(ts_us) AS end_us,
+       max(ts_us) - min(ts_us) AS duration_us
+FROM s GROUP BY user_id, session_seq"""
+
+
+def asof_profile(update_mod: int = 20) -> str:
+    """As-of join oracle — DuckDB's NATIVE ASOF JOIN, a genuinely
+    independent formulation of operators/asof.asof_join's union-then-window
+    plan (same >= convention: an exactly-simultaneous update is visible)."""
+    return f"""
+WITH upd AS (SELECT user_id, epoch_us(ts) AS uts, value FROM events
+             WHERE event_id % {update_mod} = 0),
+ev AS (SELECT event_id, user_id, epoch_us(ts) AS ets FROM events)
+SELECT e.event_id AS event_id, e.user_id AS user_id,
+       u.uts AS asof_ts_us, u.value AS asof_value
+FROM ev e ASOF JOIN upd u ON e.user_id = u.user_id AND e.ets >= u.uts"""
+
+
+def stratified_sample() -> str:
+    """Deterministic stratified hash sample (operators/sampling): same md5
+    nibble bucket, same per-lang thresholds (shared MIX_* constants)."""
+    from .operators.sampling import MIX_DEFAULT, MIX_RATES, SAMPLE_MOD
+    whens = " ".join(
+        f"WHEN '{k}' THEN {int(MIX_RATES[k] * SAMPLE_MOD)}"
+        for k in sorted(MIX_RATES))
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       % {SAMPLE_MOD}) <
+      CASE lang {whens} ELSE {int(MIX_DEFAULT * SAMPLE_MOD)} END"""

@@ -1,0 +1,122 @@
+"""Unit tests for sessionize / asof_join / hash sampling: known-answer
+semantics on crafted inputs plus the plan contracts (sessionize = exactly
+one exchange; sampling = none)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkcheck.operators import sampling
+from sparkcheck.operators.asof import asof_join
+from sparkcheck.operators.sessions import sessionize
+
+
+def _events(spark, rows):
+    """rows: (event_id, epoch_s, user_id[, value])."""
+    if rows and len(rows[0]) == 4:
+        df = spark.createDataFrame(
+            rows, "event_id bigint, t bigint, user_id bigint, value double")
+    else:
+        df = spark.createDataFrame(
+            rows, "event_id bigint, t bigint, user_id bigint")
+    return df.withColumn("ts", F.timestamp_seconds(F.col("t"))).drop("t")
+
+
+def test_sessionize_known_answer(spark):
+    # user 1: events at 0s,100s then 10000s → two sessions with gap 1800s;
+    # user 2: single event
+    df = _events(spark, [(1, 0, 1), (2, 100, 1), (3, 10000, 1), (4, 50, 2)])
+    out = {(r["user_id"], r["session_seq"]): r.asDict()
+           for r in sessionize(df, gap_s=1800).collect()}
+    assert set(out) == {(1, 1), (1, 2), (2, 1)}
+    s11 = out[(1, 1)]
+    assert s11["n_events"] == 2
+    assert s11["start_us"] == 0 and s11["end_us"] == 100_000_000
+    assert s11["duration_us"] == 100_000_000
+    assert out[(1, 2)]["n_events"] == 1
+    assert out[(2, 1)]["duration_us"] == 0
+
+
+def test_sessionize_boundary_gap_not_new_session(spark):
+    # gap EXACTLY equal to gap_s stays in the same session (strict >)
+    df = _events(spark, [(1, 0, 1), (2, 1800, 1), (3, 3601, 1)])
+    out = sessionize(df, gap_s=1800).collect()
+    assert {r["session_seq"] for r in out} == {1, 2}
+    assert {r["n_events"] for r in out} == {2, 1}
+
+
+def test_sessionize_plan_single_exchange(spark, tmp_path):
+    """Scale contract: the window partition on user_id already satisfies
+    the session-level groupBy clustering — ONE exchange total."""
+    p = str(tmp_path / "ev.parquet")
+    _events(spark, [(i, i * 30, i % 5) for i in range(200)]) \
+        .write.parquet(p)
+    plan = sessionize(spark.read.parquet(p)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_asof_known_answer(spark):
+    left = _events(spark, [(1, 5, 1), (2, 15, 1), (3, 25, 1), (4, 10, 1)])
+    right = _events(spark, [(90, 10, 1, 7.0), (91, 20, 1, 9.0)]) \
+        .select("user_id", "ts", F.col("value").alias("asof_value"))
+    out = {r["event_id"]: r.asDict() for r in asof_join(
+        left, right, on="user_id", ts_col="ts",
+        left_cols=["event_id", "user_id"],
+        right_cols=["asof_value"]).collect()}
+    # event 1 (t=5) precedes every update → dropped (inner as-of)
+    assert set(out) == {2, 3, 4}
+    assert out[2]["asof_value"] == 7.0
+    assert out[3]["asof_value"] == 9.0 and out[3]["asof_ts_us"] == 20_000_000
+    # equal timestamps: the simultaneous update IS visible (>= convention)
+    assert out[4]["asof_value"] == 7.0
+
+
+def test_asof_keys_isolated(spark):
+    left = _events(spark, [(1, 50, 1), (2, 50, 2)])
+    right = _events(spark, [(90, 10, 2, 3.0)]) \
+        .select("user_id", "ts", F.col("value").alias("asof_value"))
+    out = asof_join(left, right, on="user_id", ts_col="ts",
+                    left_cols=["event_id", "user_id"],
+                    right_cols=["asof_value"]).collect()
+    # user 1 has no updates at all → its event is dropped
+    assert [(r["event_id"], r["asof_value"]) for r in out] == [(2, 3.0)]
+
+
+def test_hash_sample_deterministic_and_union_stable(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = sampling.hash_sample(df, "doc_id", 0.3)
+    ids1 = {r["doc_id"] for r in a.collect()}
+    ids2 = {r["doc_id"] for r in a.collect()}
+    assert ids1 == ids2  # deterministic across executions
+    assert 0.2 < len(ids1) / 2000 < 0.4
+    # union-stability: sample(A ∪ B) == sample(A) ∪ sample(B)
+    lo, hi = df.filter("doc_id < 1000"), df.filter("doc_id >= 1000")
+    part = {r["doc_id"] for r in
+            sampling.hash_sample(lo, "doc_id", 0.3).collect()} | \
+           {r["doc_id"] for r in
+            sampling.hash_sample(hi, "doc_id", 0.3).collect()}
+    assert part == ids1
+
+
+def test_stratified_rates_and_default(spark):
+    df = spark.createDataFrame(
+        [(i, ["en", "de", "xx"][i % 3]) for i in range(3000)],
+        "doc_id bigint, lang string")
+    out = sampling.stratified_hash_sample(
+        df, "doc_id", "lang", {"en": 1.0, "de": 0.2}, default_rate=0.0) \
+        .groupBy("lang").count().collect()
+    got = {r["lang"]: r["count"] for r in out}
+    assert got["en"] == 1000        # rate 1.0 keeps every row
+    assert 100 < got["de"] < 300    # ~0.2
+    assert "xx" not in got          # default 0.0 drops unknown strata
+
+
+def test_sampling_plan_no_shuffle(spark, tmp_path):
+    p = str(tmp_path / "docs.parquet")
+    spark.range(0, 100).withColumnRenamed("id", "doc_id") \
+        .withColumn("lang", F.lit("en")).write.parquet(p)
+    plan = sampling.stratified_hash_sample(
+        spark.read.parquet(p), "doc_id", "lang", {"en": 0.5}) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure codegen filter
