@@ -448,6 +448,16 @@ def q_stratified_sample(spark, sf_dir):
         sampling.MIX_RATES, sampling.MIX_DEFAULT).select("doc_id", "lang")
 
 
+def q_training_shard(spark, sf_dir):
+    """The composed pipeline: quality gate → exact dedup → benchmark
+    decontamination → stratified mixing sample, one DataFrame — every stage
+    is an already-oracled operator; this query verifies they COMPOSE."""
+    from sparkcheck.operators import pipeline, quality
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % quality.DECON_MOD == 0)
+    return pipeline.training_shard(docs, bench)
+
+
 # --- rows-only (engine-specific by nature; pytest-verified) ------------------
 
 
@@ -508,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "asof_profile": q_asof_profile,
         "stratified_sample": q_stratified_sample,
+        "training_shard": q_training_shard,
         # rows-only check (keyed by spark_partition_id — engine-specific by
         # nature, no SQL-expressible oracle; pytest-verified)
         "partition_stats": q_partition_stats,
@@ -564,4 +575,5 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": oracle.sessionize(),
         "asof_profile": oracle.asof_profile(),
         "stratified_sample": oracle.stratified_sample(),
+        "training_shard": oracle.training_shard(),
     }

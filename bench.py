@@ -161,6 +161,28 @@ def main() -> None:
         similarity.ivf_topk(emb, [0, 1, 2, 3, 4], k=10, nprobe=2)),
         reps=inner)
 
+    # event-stream operators over a replica-amplified events table (users
+    # shifted per replica so the key space scales with the data — the
+    # shape a real crawl log has). events.parquet is one file: repartition
+    # BEFORE the replica explode, same lesson as the pages loader.
+    from sparkcheck.operators.asof import asof_join
+    from sparkcheck.operators.sessions import sessionize
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(cpus)
+    ev_reps = 20
+    ev2m = (ev.crossJoin(spark.range(ev_reps).withColumnRenamed("id", "rep"))
+              .withColumn("user_id",
+                          F.col("user_id") + F.col("rep") * 10_000)
+              .withColumn("event_id",
+                          F.col("event_id") * ev_reps + F.col("rep"))
+              .drop("rep"))
+    timed("sessionize_2m", lambda: _force(sessionize(ev2m)), reps=inner)
+    upd = (ev2m.filter(F.col("event_id") % 20 == 0)
+               .select("user_id", "ts", F.col("value").alias("asof_value")))
+    timed("asof_join_2m", lambda: _force(
+        asof_join(ev2m, upd, on="user_id", ts_col="ts",
+                  left_cols=["event_id", "user_id"],
+                  right_cols=["asof_value"])), reps=inner)
+
     docs_per_sec = round(n_rows / timings["full_suite"], 1)
     out = {
         "metric": "validated_docs_per_sec_full_suite",

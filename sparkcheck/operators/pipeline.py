@@ -1,0 +1,51 @@
+"""The composed training-data materialization — what a 100-TB pipeline
+actually ships: quality gate → exact dedup → benchmark decontamination →
+stratified mixing sample, emitting the surviving (doc_id, lang, n_tokens)
+shard rows. One function so the operator family demonstrably COMPOSES (each
+stage is the already-oracled operator, not a re-implementation).
+
+Scale shape per stage:
+- quality gate: codegen scan (quality.gopher_quality), equi-join on doc_id;
+- exact dedup: min(doc_id) over a hash partition on text — one shuffle on
+  the text key (same shape as dedup.exact_drop_list, inlined here to keep
+  the keep-first rule on doc_id);
+- decontamination: quality.decontaminate (benchmark grams broadcast —
+  benchmark suites are MB-bounded by construction; the contaminated-id
+  anti-join is left to AQE, its size is data-dependent);
+- mixing sample: shuffle-free deterministic hash filter (sampling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import quality, sampling
+
+
+def training_shard(docs: DataFrame, bench: DataFrame,
+                   n: int = quality.DECON_N,
+                   rates: dict[str, float] | None = None,
+                   default_rate: float | None = None) -> DataFrame:
+    """(doc_id, lang, n_tokens) — the rows a training-set write would keep:
+    Gopher-pass, first-of-duplicate-text, benchmark-clean (and not a
+    benchmark doc themselves), stratified-sampled by lang."""
+    rates = sampling.MIX_RATES if rates is None else rates
+    default_rate = (sampling.MIX_DEFAULT if default_rate is None
+                    else default_rate)
+    passing = (quality.gopher_quality(docs)
+               .filter(F.col("gopher_pass")).select("doc_id"))
+    keep_first = (docs.withColumn(
+        "_keep", F.min("doc_id").over(Window.partitionBy("text")))
+        .filter(F.col("doc_id") == F.col("_keep")))
+    contaminated = quality.decontaminate(docs, bench, n=n).select("doc_id")
+    kept = (keep_first
+            .join(passing, "doc_id")
+            .join(F.broadcast(bench.select("doc_id").distinct()),
+                  "doc_id", "left_anti")
+            .join(contaminated, "doc_id", "left_anti"))
+    sampled = sampling.stratified_hash_sample(kept, "doc_id", "lang",
+                                              rates, default_rate)
+    return sampled.select(
+        "doc_id", "lang",
+        F.size(F.split(F.col("text"), " ")).cast("int").alias("n_tokens"))

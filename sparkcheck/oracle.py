@@ -908,3 +908,32 @@ SELECT doc_id, lang FROM documents
 WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
        % {SAMPLE_MOD}) <
       CASE lang {whens} ELSE {int(MIX_DEFAULT * SAMPLE_MOD)} END"""
+
+
+def training_shard() -> str:
+    """Composed training-set materialization (operators/pipeline.py):
+    Gopher-pass ∩ first-of-duplicate-text ∩ benchmark-clean ∩ stratified
+    sample — each stage is the already-oracled builder embedded as a CTE,
+    so the composition is verified, not just the parts."""
+    from .operators.quality import DECON_MOD
+    from .operators.sampling import MIX_DEFAULT, MIX_RATES, SAMPLE_MOD
+    whens = " ".join(
+        f"WHEN '{k}' THEN {int(MIX_RATES[k] * SAMPLE_MOD)}"
+        for k in sorted(MIX_RATES))
+    return f"""
+WITH gq AS ({gopher_quality()}),
+cont AS ({decontaminate()}),
+dmin AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keep_id
+         FROM documents),
+base AS (
+  SELECT d.doc_id AS doc_id, d.lang AS lang,
+         CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens
+  FROM documents d
+  JOIN gq ON gq.doc_id = d.doc_id AND gq.gopher_pass
+  JOIN dmin ON dmin.doc_id = d.doc_id AND dmin.keep_id = d.doc_id
+  WHERE d.doc_id % {DECON_MOD} <> 0
+    AND d.doc_id NOT IN (SELECT doc_id FROM cont))
+SELECT doc_id, lang, n_tokens FROM base
+WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       % {SAMPLE_MOD}) <
+      CASE lang {whens} ELSE {int(MIX_DEFAULT * SAMPLE_MOD)} END"""

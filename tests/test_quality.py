@@ -122,3 +122,21 @@ def test_ngram_array_guard_under_n(spark):
         "doc_id", quality._ngram_array(toks, 3).alias("g")).collect()}
     assert out[1] == [] and out[2] == []
     assert out[3] == ["one two three"]
+
+
+def test_training_shard_stage_semantics(spark):
+    """Composition contract: benchmark docs and later duplicate-text docs
+    never reach the shard; a contaminated doc is dropped; rate-1.0 keeps
+    every survivor."""
+    from sparkcheck.operators import pipeline
+    docs = _docs(spark, [
+        (0, "alpha beta gamma delta " + "the rest of a long document "*20),  # bench
+        (1, "unique text " + "the lion rests upon a carpet "*20),            # clean survivor
+        (2, "x alpha beta gamma y " + "the lion rests upon a carpet "*20),   # contaminated
+        (3, "unique text " + "the lion rests upon a carpet "*20),            # dup of 1 → dropped
+    ]).withColumn("lang", F.lit("en"))
+    bench = docs.filter(F.col("doc_id") == 0)
+    out = pipeline.training_shard(docs, bench, n=3, rates={"en": 1.0}) \
+        .collect()
+    assert [r["doc_id"] for r in out] == [1]
+    assert out[0]["n_tokens"] > 50
