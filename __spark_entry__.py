@@ -458,6 +458,26 @@ def q_training_shard(spark, sf_dir):
     return pipeline.training_shard(docs, bench)
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered funnel over the events stream (view → click → purchase):
+    chained min-aggregates on the user key, >= step convention."""
+    from sparkcheck.operators.sessions import funnel
+    return funnel(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_event_rate_anomaly(spark, sf_dir):
+    """Per-type bucketed event-rate z-scores with explicit integer-moment
+    arithmetic (engine-native stddev would diverge in the last ulp)."""
+    from sparkcheck.operators.sessions import event_rate_anomaly
+    return event_rate_anomaly(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_norm_outliers(spark, sf_dir):
+    """Embedding L2-norm quantile-band outliers — pre-ANN hygiene filter
+    (exact interpolated quantile bounds on a 1-row broadcast)."""
+    return similarity.norm_outliers(_emb(spark, sf_dir))
+
+
 # --- rows-only (engine-specific by nature; pytest-verified) ------------------
 
 
@@ -519,6 +539,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_profile": q_asof_profile,
         "stratified_sample": q_stratified_sample,
         "training_shard": q_training_shard,
+        "funnel": q_funnel,
+        "event_rate_anomaly": q_event_rate_anomaly,
+        "norm_outliers": q_norm_outliers,
         # rows-only check (keyed by spark_partition_id — engine-specific by
         # nature, no SQL-expressible oracle; pytest-verified)
         "partition_stats": q_partition_stats,
@@ -576,4 +599,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_profile": oracle.asof_profile(),
         "stratified_sample": oracle.stratified_sample(),
         "training_shard": oracle.training_shard(),
+        "funnel": oracle.funnel(),
+        "event_rate_anomaly": oracle.event_rate_anomaly(),
+        "norm_outliers": oracle.norm_outliers(),
     }

@@ -55,3 +55,66 @@ def sessionize(df: DataFrame, user_col: str = "user_id",
                   F.min("ts_us").alias("start_us"),
                   F.max("ts_us").alias("end_us"))
              .withColumn("duration_us", F.col("end_us") - F.col("start_us")))
+
+
+def funnel(df: DataFrame, steps: tuple[str, ...] = ("view", "click",
+                                                    "purchase"),
+           user_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type") -> DataFrame:
+    """(step, path, n_users) — ordered-funnel analysis: step k counts users
+    whose first step-(k-1) completion is followed (>=, simultaneous counts)
+    by a step-k event. Each stage is a map-side-combining min-aggregate on
+    the user key joined to the previous frontier — len(steps) shuffles on
+    the same key (Catalyst reuses the user-hash partitioning between
+    stages), never a per-user event sort."""
+    ev = df.select(F.col(user_col).alias("u"),
+                   ts_micros(F.col(ts_col)).alias("t"),
+                   F.col(type_col).alias("y"))
+    reached = (ev.filter(F.col("y") == steps[0])
+                 .groupBy("u").agg(F.min("t").alias("tp")))
+    out = []
+    for i, s in enumerate(steps):
+        if i > 0:
+            reached = (ev.filter(F.col("y") == s)
+                         .join(reached, "u")
+                         .filter(F.col("t") >= F.col("tp"))
+                         .groupBy("u").agg(F.min("t").alias("tp")))
+        path = ">".join(steps[:i + 1])
+        out.append(reached.agg(F.count(F.lit(1)).alias("n_users"))
+                   .select(F.lit(i + 1).alias("step"),
+                           F.lit(path).alias("path"), "n_users"))
+    res = out[0]
+    for f in out[1:]:
+        res = res.unionByName(f)
+    return res
+
+
+def event_rate_anomaly(df: DataFrame, type_col: str = "event_type",
+                       ts_col: str = "ts", bucket_s: int = 3600,
+                       z: float = 2.0) -> DataFrame:
+    """(event_type, hr, cnt, z4, anomaly) — per-type bucketed event rates
+    with a z-score against that type's own mean/stddev. Moments are computed
+    from integer sums (sum, sum-of-squares, bucket count) so both engines
+    derive bit-identical doubles — engine-native stddev implementations
+    (Welford vs two-pass) would diverge in the last ulp and flip boundary
+    flags. The per-type stats frame is broadcast: the type domain is bounded
+    (it's an enum), unlike data-dependent dup lists."""
+    bucket_us = int(bucket_s) * 1_000_000
+    hourly = (df.select(F.col(type_col).alias("event_type"),
+                        ts_micros(F.col(ts_col)).alias("t"))
+                .withColumn("hr", F.expr(f"t div {bucket_us}"))
+                .groupBy("event_type", "hr")
+                .agg(F.count(F.lit(1)).alias("cnt")))
+    stats = (hourly.groupBy("event_type")
+             .agg(F.sum("cnt").alias("s"),
+                  F.sum(F.col("cnt") * F.col("cnt")).alias("ss"),
+                  F.count(F.lit(1)).alias("k")))
+    mu = F.col("s") / F.col("k")
+    var = F.col("ss") / F.col("k") - mu * mu
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    zscore = F.when(sd > 0, (F.col("cnt") - mu) / sd).otherwise(F.lit(0.0))
+    from .textstats import round4
+    return (hourly.join(F.broadcast(stats), "event_type")
+            .select("event_type", "hr", "cnt",
+                    round4(zscore).alias("z4"),
+                    (zscore > z).alias("anomaly")))

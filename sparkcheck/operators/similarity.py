@@ -395,3 +395,34 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
               .select("id_a", "id_b",
                       cosine4(F.col("va"), F.col("vb")).alias("score")))
     return pairs.filter(F.col("score") >= threshold)
+
+
+def l2_norm(a):
+    """L2 norm of an array column in double precision, element-order
+    summation (portable: the oracle's list fold sums in the same order)."""
+    return F.sqrt(F.aggregate(a, F.lit(0.0),
+                              lambda acc, v: acc + v.cast("double") ** 2))
+
+
+def norm_outliers(emb: DataFrame, vec_col: str = "embedding",
+                  id_col: str = "vec_id", lo: float = 0.01,
+                  hi: float = 0.99) -> DataFrame:
+    """(vec_id, norm, side) — embedding rows whose L2 norm falls outside the
+    [lo, hi] exact interpolated quantile band: the standard pre-ANN hygiene
+    filter (zero/degenerate vectors poison cosine; inflated norms dominate
+    dot-products). Quantile bounds ride a 1-row broadcast; comparisons use
+    the UNROUNDED norm (bit-identical across engines), output rounded 4dp.
+    At 10^12 rows swap `percentile` for approx_percentile (same plan, see
+    stats.numeric_quantiles_approx)."""
+    norms = emb.select(F.col(id_col), l2_norm(F.col(vec_col)).alias("_n"))
+    q = norms.agg(
+        F.expr(f"percentile(_n, {lo})").alias("_q_lo"),
+        F.expr(f"percentile(_n, {hi})").alias("_q_hi"))
+    from .textstats import round4
+    return (norms.crossJoin(F.broadcast(q))
+            .filter((F.col("_n") < F.col("_q_lo"))
+                    | (F.col("_n") > F.col("_q_hi")))
+            .select(F.col(id_col),
+                    round4(F.col("_n")).alias("norm"),
+                    F.when(F.col("_n") < F.col("_q_lo"), F.lit("low"))
+                     .otherwise(F.lit("high")).alias("side")))

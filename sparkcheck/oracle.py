@@ -937,3 +937,67 @@ SELECT doc_id, lang, n_tokens FROM base
 WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
        % {SAMPLE_MOD}) <
       CASE lang {whens} ELSE {int(MIX_DEFAULT * SAMPLE_MOD)} END"""
+
+
+def funnel(steps: tuple[str, ...] = ("view", "click", "purchase")) -> str:
+    """Ordered funnel (operators/sessions.funnel): chained min-aggregates
+    with the same >= (simultaneous counts) convention."""
+    ctes = ["e AS (SELECT user_id AS u, epoch_us(ts) AS t, "
+            "event_type AS y FROM events)"]
+    prev = None
+    selects = []
+    for i, s in enumerate(steps):
+        name = f"s{i + 1}"
+        if i == 0:
+            ctes.append(f"{name} AS (SELECT u, min(t) AS tp FROM e "
+                        f"WHERE y = '{s}' GROUP BY u)")
+        else:
+            ctes.append(
+                f"{name} AS (SELECT e.u, min(e.t) AS tp FROM e "
+                f"JOIN {prev} ON e.u = {prev}.u AND e.t >= {prev}.tp "
+                f"WHERE e.y = '{s}' GROUP BY e.u)")
+        path = ">".join(steps[:i + 1])
+        selects.append(f"SELECT {i + 1} AS step, '{path}' AS path, "
+                       f"count(*) AS n_users FROM {name}")
+        prev = name
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+def event_rate_anomaly(bucket_s: int = 3600, z: float = 2.0) -> str:
+    """Per-type bucketed rate z-scores (operators/sessions.event_rate_
+    anomaly): moments from the same integer sums, identical double
+    expression tree — engine-native stddev would diverge in the last ulp."""
+    bucket_us = int(bucket_s) * 1_000_000
+    return f"""
+WITH h AS (SELECT event_type, epoch_us(ts) // {bucket_us} AS hr,
+                  count(*) AS cnt
+           FROM events GROUP BY event_type, hr),
+st AS (SELECT event_type, sum(cnt) AS s, sum(cnt * cnt) AS ss,
+              count(*) AS k
+       FROM h GROUP BY event_type),
+j AS (SELECT h.event_type, h.hr, h.cnt,
+             st.s / st.k AS mu,
+             sqrt(greatest(st.ss / st.k - (st.s / st.k) * (st.s / st.k),
+                           0.0)) AS sd
+      FROM h JOIN st USING (event_type))
+SELECT event_type, hr, cnt,
+  FLOOR((CASE WHEN sd > 0 THEN (cnt - mu) / sd ELSE 0.0 END) * 10000 + 0.5)
+    / 10000.0 AS z4,
+  (CASE WHEN sd > 0 THEN (cnt - mu) / sd ELSE 0.0 END) > {z} AS anomaly
+FROM j"""
+
+
+def norm_outliers(lo: float = 0.01, hi: float = 0.99) -> str:
+    """Embedding L2-norm quantile-band outliers (operators/similarity.
+    norm_outliers): same element-order double fold, same exact interpolated
+    quantiles (quantile_cont == Spark percentile), comparisons on the
+    unrounded norm."""
+    norm = ("sqrt(list_sum(list_transform(embedding, "
+            "x -> CAST(x AS DOUBLE) ** 2)))")
+    return f"""
+WITH n AS (SELECT vec_id, {norm} AS nm FROM embeddings),
+q AS (SELECT quantile_cont(nm, {lo}) AS q_lo, quantile_cont(nm, {hi}) AS q_hi
+      FROM n)
+SELECT vec_id, FLOOR(nm * 10000 + 0.5) / 10000.0 AS norm,
+       CASE WHEN nm < q_lo THEN 'low' ELSE 'high' END AS side
+FROM n, q WHERE nm < q_lo OR nm > q_hi"""

@@ -120,3 +120,58 @@ def test_sampling_plan_no_shuffle(spark, tmp_path):
         spark.read.parquet(p), "doc_id", "lang", {"en": 0.5}) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure codegen filter
+
+
+def test_funnel_strict_ordering(spark):
+    """A click BEFORE the first view does not advance the funnel; a
+    simultaneous one does (>= convention)."""
+    from sparkcheck.operators.sessions import funnel
+    df = spark.createDataFrame(
+        [  # u1: view@10 click@20 purchase@30 — full funnel
+           (1, 10, 1, "view"), (2, 20, 1, "click"), (3, 30, 1, "purchase"),
+           # u2: click@5 view@10 — click precedes the view → stops at view
+           (4, 5, 2, "click"), (5, 10, 2, "view"),
+           # u3: view@10 click@10 — simultaneous click counts
+           (6, 10, 3, "view"), (7, 10, 3, "click"),
+           # u4: purchase only — never enters the funnel
+           (8, 10, 4, "purchase")],
+        "event_id bigint, t bigint, user_id bigint, event_type string") \
+        .withColumn("ts", F.timestamp_seconds(F.col("t"))).drop("t")
+    out = {r["path"]: r["n_users"] for r in funnel(df).collect()}
+    assert out == {"view": 3, "view>click": 2, "view>click>purchase": 1}
+
+
+def test_event_rate_anomaly_flags_burst(spark):
+    """A bucket with a 10× burst is flagged; quiet buckets are not; a type
+    with constant rate (sd = 0) gets z = 0 everywhere."""
+    from sparkcheck.operators.sessions import event_rate_anomaly
+    rows = []
+    eid = 0
+    for hr in range(10):               # 'click': 2/bucket, burst in hr 5
+        n = 20 if hr == 5 else 2
+        for i in range(n):
+            rows.append((eid, hr * 3600 + i, 1, "click")); eid += 1
+    for hr in range(10):               # 'view': constant 3/bucket → sd 0
+        for i in range(3):
+            rows.append((eid, hr * 3600 + i, 1, "view")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, t bigint, user_id bigint, event_type string"
+        ).withColumn("ts", F.timestamp_seconds(F.col("t"))).drop("t")
+    out = event_rate_anomaly(df, bucket_s=3600, z=2.0).collect()
+    flagged = {(r["event_type"], r["hr"]) for r in out if r["anomaly"]}
+    assert flagged == {("click", 5)}
+    assert all(r["z4"] == 0.0 for r in out if r["event_type"] == "view")
+
+
+def test_norm_outliers_tails_only(spark):
+    """With 100 distinct norms and a [0.05, 0.95] band, ~5 land on each
+    side and every flagged row carries the right side label."""
+    from sparkcheck.operators.similarity import norm_outliers
+    df = spark.createDataFrame(
+        [(i, [float(i + 1), 0.0]) for i in range(100)],
+        "vec_id bigint, embedding array<float>")
+    out = norm_outliers(df, lo=0.05, hi=0.95).collect()
+    assert 8 <= len(out) <= 10
+    for r in out:
+        assert r["side"] == ("low" if r["norm"] < 50 else "high")
+        assert (r["vec_id"] < 5) if r["side"] == "low" else (r["vec_id"] > 93)
