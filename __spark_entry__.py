@@ -478,6 +478,68 @@ def q_norm_outliers(spark, sf_dir):
     return similarity.norm_outliers(_emb(spark, sf_dir))
 
 
+def _orders_validator(spark, sf_dir):
+    """The validator API applied to a SECOND schema (TPC-H orders):
+    constraints + field rules + broadcast referential vs the customer dim,
+    with deterministic key noise (o_orderkey % 97 → +1e6) so the
+    referential rule actually fires. Shows the builder is schema-agnostic —
+    same fail-fast cascade, different table."""
+    from sparkcheck import FieldConstraint, build_validator
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .withColumn("ck", F.col("o_custkey")
+                          + F.when(F.col("o_orderkey") % 97 == 0,
+                                   F.lit(1_000_000)).otherwise(F.lit(0))))
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .select("c_custkey")
+    v = (build_validator()
+         .input(constraints=[FieldConstraint(
+             "o_orderkey", "o_orderkey IS NOT NULL",
+             "o_orderkey required")], key_col="o_orderkey")
+         .deps("customer")
+         .field_rule("status-known", "o_orderstatus IN ('O','F','P')",
+                     "unknown order status", key="o_orderstatus",
+                     value="o_orderstatus")
+         .field_rule("price-range", "o_totalprice BETWEEN 0 AND 450000",
+                     "total price out of range", key="o_totalprice",
+                     value="o_totalprice")
+         .referential("ck", dim="customer", dim_key="c_custkey",
+                      message="unknown customer key", id="cust-exists")
+         .provide(customer=cust))
+    return v.validate(orders, persist=False)
+
+
+def q_orders_verdicts(spark, sf_dir):
+    res = _orders_validator(spark, sf_dir)
+    return res.verdicts.select("o_orderkey", "success", "rule_id", "step")
+
+
+def q_orders_violations(spark, sf_dir):
+    res = _orders_validator(spark, sf_dir)
+    return res.violations.select("rule_id", "o_orderkey", "key", "message",
+                                 "offending_value")
+
+
+SHIP_CUTOFF_US = 904_694_400_000_000  # 1998-09-02 00:00:00 UTC in micros
+
+
+def q_tpch_pricing(spark, sf_dir):
+    """TPC-H Q1-style pricing summary over lineitem. Money sums go through
+    integer cents (floor(x·100+0.5) per row, then an exact bigint sum) —
+    a naive double sum is ORDER-DEPENDENT and Spark's partial-aggregation
+    order differs from DuckDB's, so the engines would disagree in the last
+    ulp; integer cents make the aggregate associative and exact."""
+    from sparkcheck.operators.sessions import ts_micros
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = F.floor(F.col("l_extendedprice")
+                    * (1 - F.col("l_discount")) * 100 + F.lit(0.5)) \
+        .cast("bigint")
+    return (li.filter(ts_micros(F.col("l_shipdate")) <= SHIP_CUTOFF_US)
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+                 F.sum(cents).alias("revenue_cents"),
+                 F.count(F.lit(1)).alias("n_rows")))
+
+
 # --- rows-only (engine-specific by nature; pytest-verified) ------------------
 
 
@@ -542,6 +604,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "event_rate_anomaly": q_event_rate_anomaly,
         "norm_outliers": q_norm_outliers,
+        "orders_verdicts": q_orders_verdicts,
+        "orders_violations": q_orders_violations,
+        "tpch_pricing": q_tpch_pricing,
         # rows-only check (keyed by spark_partition_id — engine-specific by
         # nature, no SQL-expressible oracle; pytest-verified)
         "partition_stats": q_partition_stats,
@@ -602,4 +667,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel": oracle.funnel(),
         "event_rate_anomaly": oracle.event_rate_anomaly(),
         "norm_outliers": oracle.norm_outliers(),
+        "orders_verdicts": oracle.orders_verdicts(),
+        "orders_violations": oracle.orders_violations(),
+        "tpch_pricing": oracle.tpch_pricing(),
     }

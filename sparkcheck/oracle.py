@@ -1001,3 +1001,74 @@ q AS (SELECT quantile_cont(nm, {lo}) AS q_lo, quantile_cont(nm, {hi}) AS q_hi
 SELECT vec_id, FLOOR(nm * 10000 + 0.5) / 10000.0 AS norm,
        CASE WHEN nm < q_lo THEN 'low' ELSE 'high' END AS side
 FROM n, q WHERE nm < q_lo OR nm > q_hi"""
+
+
+# ---------------------------------------------------------------------------
+# Validator applied to TPC-H orders + Q1-style pricing summary
+# ---------------------------------------------------------------------------
+
+_ORDERS_CASCADE = """
+WITH o AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         o_custkey + CASE WHEN o_orderkey % 97 = 0
+                          THEN 1000000 ELSE 0 END AS ck
+  FROM orders),
+f AS (
+  SELECT o.*,
+    (o_orderkey IS NULL) AS f_schema,
+    (o_orderstatus IS NULL
+     OR o_orderstatus NOT IN ('O', 'F', 'P')) AS f0,
+    COALESCE(NOT (o_totalprice BETWEEN 0 AND 450000), TRUE) AS f1,
+    (ck IS NULL OR ck NOT IN (SELECT c_custkey FROM customer)) AS f2
+  FROM o)"""
+
+
+def orders_verdicts() -> str:
+    """Fail-fast cascade over TPC-H orders (__spark_entry__._orders_
+    validator): same rule order — schema → status-known → price-range →
+    noised-key referential vs customer."""
+    return f"""{_ORDERS_CASCADE}
+SELECT o_orderkey, NOT (f_schema OR f0 OR f1 OR f2) AS success,
+  CASE WHEN f_schema THEN NULL
+       WHEN f0 THEN 'status-known'
+       WHEN f1 THEN 'price-range'
+       WHEN f2 THEN 'cust-exists' END AS rule_id,
+  CASE WHEN f_schema THEN 'schema'
+       WHEN f0 OR f1 OR f2 THEN 'rules' END AS step
+FROM f"""
+
+
+def orders_violations() -> str:
+    """First-failure violation rows for the orders cascade (key / message /
+    stringified offending value per the engine's emission shape)."""
+    return f"""{_ORDERS_CASCADE}
+SELECT
+  CASE WHEN f0 THEN 'status-known' WHEN f1 THEN 'price-range'
+       WHEN f2 THEN 'cust-exists' END AS rule_id,
+  o_orderkey,
+  CASE WHEN f_schema THEN 'o_orderkey'
+       WHEN f0 THEN 'o_orderstatus' WHEN f1 THEN 'o_totalprice'
+       WHEN f2 THEN 'ck' END AS key,
+  CASE WHEN f_schema THEN 'o_orderkey required'
+       WHEN f0 THEN 'unknown order status'
+       WHEN f1 THEN 'total price out of range'
+       WHEN f2 THEN 'unknown customer key' END AS message,
+  CASE WHEN f0 THEN o_orderstatus
+       WHEN f1 THEN CAST(o_totalprice AS VARCHAR)
+       WHEN f2 THEN CAST(ck AS VARCHAR) END AS offending_value
+FROM f WHERE f_schema OR f0 OR f1 OR f2"""
+
+
+def tpch_pricing(cutoff_us: int = 904_694_400_000_000) -> str:
+    """Q1-style pricing summary: revenue through integer cents (per-row
+    floor(x·100+0.5) then exact bigint sum) — a naive double sum is
+    order-dependent and the two engines aggregate in different orders."""
+    return f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                AS BIGINT)) AS BIGINT) AS revenue_cents,
+  count(*) AS n_rows
+FROM lineitem
+WHERE epoch_us(l_shipdate) <= {cutoff_us}
+GROUP BY l_returnflag, l_linestatus"""
