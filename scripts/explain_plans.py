@@ -141,6 +141,76 @@ def main() -> None:
         "re-aggregate broadcast back; TakeOrderedAndProject keeps k rows — "
         "no full sort, no collect"))
 
+    # sessionization
+    from sparkcheck.operators.sessions import (event_rate_anomaly, funnel,
+                                               sessionize)
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    sess = sessionize(ev)
+    sess.collect()
+    out.append(summarize(
+        "gap-based sessionize (events)", plan_of(sess),
+        "ONE shuffle total: the window partition on user_id already "
+        "satisfies the session-level groupBy clustering — lag, running "
+        "sum, and the session aggregate all ride the same exchange"))
+
+    # as-of join
+    from sparkcheck.operators.asof import asof_join
+    upd = (ev.filter(F.col("event_id") % 20 == 0)
+             .select("user_id", "ts", F.col("value").alias("asof_value")))
+    aj = asof_join(ev, upd, on="user_id", ts_col="ts",
+                   left_cols=["event_id", "user_id"],
+                   right_cols=["asof_value"])
+    aj.collect()
+    out.append(summarize(
+        "as-of join (union-then-window)", plan_of(aj),
+        "one hash shuffle on the key + per-partition sort; no broadcast of "
+        "either side, no range-join explosion — works when BOTH sides are "
+        "huge (the right side forward-fills through a last(ignorenulls) "
+        "window)"))
+
+    # funnel
+    fu = funnel(ev)
+    fu.collect()
+    out.append(summarize(
+        "ordered funnel (view→click→purchase)", plan_of(fu),
+        "chained map-side-combining min-aggregates on the user key; at "
+        "this SF, AQE broadcasts each per-user frontier into the next "
+        "stage's join (frontiers only shrink step-over-step); at scale the "
+        "same join falls back to a user-key hash join that shares the "
+        "aggregates' partitioning"))
+
+    # event-rate anomaly
+    an = event_rate_anomaly(ev)
+    an.collect()
+    out.append(summarize(
+        "event-rate anomaly (z-scores)", plan_of(an),
+        "bucketed count (map-side-combining) + per-type moments broadcast "
+        "back (type domain is an enum — bounded)"))
+
+    # decontamination
+    from sparkcheck.operators import quality
+    docs_full = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs_full.filter(F.col("doc_id") % quality.DECON_MOD == 0)
+    dec = quality.decontaminate(docs_full, bench, n=quality.DECON_N)
+    dec.collect()
+    out.append(summarize(
+        "benchmark decontamination (n-gram overlap)", plan_of(dec),
+        "benchmark gram set collapsed to DISTINCT and broadcast (benchmark "
+        "suites are MB-bounded by construction); corpus side is one "
+        "explode + broadcast-hash join + map-side-combining distinct "
+        "count — the corpus never shuffles for the benchmark"))
+
+    # stratified sampling
+    from sparkcheck.operators import sampling
+    samp = sampling.stratified_hash_sample(
+        docs_full, "doc_id", "lang", sampling.MIX_RATES,
+        sampling.MIX_DEFAULT)
+    samp.collect()
+    out.append(summarize(
+        "deterministic stratified sample", plan_of(samp),
+        "pure codegen filter — zero exchanges, no RNG state; the sample of "
+        "a union of shards equals the union of shard samples"))
+
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print("wrote BENCH/PLANS.md")
