@@ -66,10 +66,32 @@ def run_once(cores: int, replicas: int, sf_dir: str, use_submit: bool,
                os.path.join(REPO, "bench.py")]
     else:
         cmd = [sys.executable, os.path.join(REPO, "bench.py")]
-    out = subprocess.run(cmd, env=env, capture_output=True, text=True,
-                         cwd=REPO, check=True)
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    # a Spark local-mode run can deadlock on a stuck Arrow python worker
+    # (observed 2026-08-17: executor thread parked in EPoll.wait, worker at
+    # zero CPU, machine idle) — bound each subprocess at ~3× its expected
+    # wall and retry once so one wedged JVM doesn't stall the whole protocol
+    timeout_s = int(os.environ.get("SPARKCHECK_SCALING_TIMEOUT", "3600"))
+    last_err: Exception | None = None
+    for attempt in range(2):
+        try:
+            out = subprocess.run(cmd, env=env, capture_output=True,
+                                 text=True, cwd=REPO, check=True,
+                                 timeout=timeout_s)
+            line = [l for l in out.stdout.splitlines()
+                    if l.startswith("{")][-1]
+            return json.loads(line)
+        except subprocess.TimeoutExpired as e:
+            last_err = e
+            # the JVM is a grandchild: killing the python driver usually
+            # takes it down (py4j parent-death watch), but a wedged executor
+            # can survive — sweep any orphaned local-mode JVM before retry
+            subprocess.run(["pkill", "-9", "-f", "pyspark-shell"],
+                           capture_output=True)
+            print(f"  local[{cores}]: subprocess hung past {timeout_s}s "
+                  f"(attempt {attempt + 1}/2), killed and retrying",
+                  flush=True)
+    raise RuntimeError(
+        f"local[{cores}] bench subprocess hung twice") from last_err
 
 
 def measure(levels, reps, replicas, sf_dir, use_submit, inner=1):
