@@ -176,6 +176,14 @@ def main() -> None:
                           F.col("event_id") * ev_reps + F.col("rep"))
               .drop("rep"))
     timed("sessionize_2m", lambda: _force(sessionize(ev2m)), reps=inner)
+    # composed training-set materialization at constant size (its n-gram
+    # explode dominates if run at full replicas)
+    from sparkcheck.operators import pipeline, quality
+    shard_docs = (mh_pages.selectExpr("rid AS doc_id", "text", "lang"))
+    shard_bench = shard_docs.filter(
+        F.col("doc_id") % quality.DECON_MOD == 0)
+    timed("training_shard_100k", lambda: _force(
+        pipeline.training_shard(shard_docs, shard_bench)), reps=inner)
     upd = (ev2m.filter(F.col("event_id") % 20 == 0)
                .select("user_id", "ts", F.col("value").alias("asof_value")))
     timed("asof_join_2m", lambda: _force(

@@ -37,6 +37,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts_col: str,
     r_payload = F.struct(
         ts_micros(F.col(ts_col)).alias(right_ts_name),
         *[F.col(c) for c in right_cols])
+    # SQL join semantics: NULL keys (or NULL timestamps) never match — drop
+    # them on both sides, or the union-window would forward-fill NULL-key
+    # right rows into NULL-key left rows where the ASOF JOIN oracle returns
+    # nothing
+    right = right.filter(F.col(on).isNotNull() & F.col(ts_col).isNotNull())
+    left = left.filter(F.col(on).isNotNull() & F.col(ts_col).isNotNull())
     rt = right.select(F.col(on).alias("_k"),
                       ts_micros(F.col(ts_col)).alias("_ts"),
                       F.lit(0).alias("_side"),

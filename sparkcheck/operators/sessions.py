@@ -40,9 +40,14 @@ def sessionize(df: DataFrame, user_col: str = "user_id",
     time order. Ties on ts are broken by order_col so the numbering is
     total and engine-independent."""
     gap_us = int(gap_s) * 1_000_000
-    base = df.select(F.col(user_col).alias("user_id"),
-                     F.col(order_col).alias("_ord"),
-                     ts_micros(F.col(ts_col)).alias("ts_us"))
+    # NULL users/timestamps are unsessionizable — and the window ORDER BY
+    # would place NULLs first in Spark but last in DuckDB, silently
+    # renumbering every session of an affected user
+    base = (df.filter(F.col(user_col).isNotNull()
+                      & F.col(ts_col).isNotNull())
+              .select(F.col(user_col).alias("user_id"),
+                      F.col(order_col).alias("_ord"),
+                      ts_micros(F.col(ts_col)).alias("ts_us")))
     w = Window.partitionBy("user_id").orderBy("ts_us", "_ord")
     prev = F.lag("ts_us").over(w)
     new_s = F.when(prev.isNull() | ((F.col("ts_us") - prev) > gap_us),

@@ -147,3 +147,28 @@ def stateful_unique_stream(stream, key_col: str,
     return (keyed.groupBy("key")
             .applyInPandasWithState(update, UNIQUE_OUT_SCHEMA,
                                     UNIQUE_STATE_SCHEMA, "update", timeout))
+
+
+def session_counts_stream(stream, user_col: str = "user_id",
+                          ts_col: str = "ts", gap: str = "30 minutes",
+                          watermark: str = "1 hour"):
+    """Streaming sessionization via Spark's NATIVE session_window — the
+    incremental counterpart of operators/sessions.sessionize: sessions merge
+    while events arrive within `gap` and are finalized once the watermark
+    passes their end, so state is bounded by the active-session count (not
+    history). Returns (user_id, session_start, session_end, n_events) in
+    update/append per the chosen output mode.
+
+    Boundary note vs the batch operator: session_window starts a NEW session
+    when the inter-event gap is >= the window gap (its window is half-open
+    [ts, ts+gap)), while sessions.sessionize keeps an exactly-gap event in
+    the same session (strict >). Identical everywhere except gaps that land
+    exactly on the boundary."""
+    return (stream.withWatermark(ts_col, watermark)
+            .groupBy(F.session_window(F.col(ts_col), gap).alias("w"),
+                     F.col(user_col))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col(user_col),
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events"))

@@ -175,3 +175,30 @@ def test_norm_outliers_tails_only(spark):
     for r in out:
         assert r["side"] == ("low" if r["norm"] < 50 else "high")
         assert (r["vec_id"] < 5) if r["side"] == "low" else (r["vec_id"] > 93)
+
+
+def test_sessionize_and_asof_drop_null_keys_and_ts(spark):
+    """NULL users/timestamps never match in SQL (the DuckDB oracles join or
+    partition them away); the operators must drop them, not group them —
+    Spark window ORDER BY also places NULLs first where DuckDB places them
+    last, which would silently renumber sessions."""
+    from sparkcheck.operators.sessions import sessionize
+    df = spark.createDataFrame(
+        [(1, 0, 1), (2, None, 1), (3, 100, None), (4, 50, 2)],
+        "event_id bigint, t bigint, user_id bigint") \
+        .withColumn("ts", F.timestamp_seconds(F.col("t"))).drop("t")
+    out = sessionize(df, gap_s=1800).collect()
+    assert {(r["user_id"], r["n_events"]) for r in out} == {(1, 1), (2, 1)}
+
+    left = df
+    right = spark.createDataFrame(
+        [(90, 10, None, 5.0), (91, 20, 2, 7.0)],
+        "event_id bigint, t bigint, user_id bigint, value double") \
+        .withColumn("ts", F.timestamp_seconds(F.col("t"))) \
+        .select("user_id", "ts", F.col("value").alias("asof_value"))
+    out = asof_join(left, right, on="user_id", ts_col="ts",
+                    left_cols=["event_id", "user_id"],
+                    right_cols=["asof_value"]).collect()
+    # only user 2's event matches; the NULL-key update fills nothing and
+    # the NULL-key/NULL-ts left rows are dropped
+    assert [(r["event_id"], r["asof_value"]) for r in out] == [(4, 7.0)]

@@ -246,3 +246,40 @@ def test_stateful_unique_ttl_evicts_idle_keys(spark, tmp_path):
               if r["key"] == "https://a"]
     assert sorted((r["total_seen"], r["is_duplicate"]) for r in a_rows) \
         == [(1, False), (1, False)]
+
+
+def test_session_counts_stream_matches_batch(spark, tmp_path):
+    """Streaming session_window sessionization over a file backlog equals
+    the batch sessionize counts (no exact-gap boundary events in this
+    input, where the two conventions differ — see the operator docstring)."""
+    from sparkcheck.operators.sessions import sessionize
+    from sparkcheck.streaming import session_counts_stream
+
+    rows = []
+    eid = 0
+    for u in (1, 2, 3):
+        for s in range(u):                # user u has u sessions
+            base = s * 100_000 + u       # sessions far beyond any gap
+            for k in range(3):           # 3 events, 60s apart
+                rows.append((eid, base + k * 60, u)); eid += 1
+    src = spark.createDataFrame(
+        rows, "event_id bigint, t bigint, user_id bigint") \
+        .withColumn("ts", F.timestamp_seconds(F.col("t"))).drop("t")
+    in_dir = str(tmp_path / "ev_in")
+    src.repartition(2).write.parquet(in_dir)
+
+    stream = spark.readStream.schema("event_id bigint, ts timestamp, "
+                                     "user_id bigint").parquet(in_dir)
+    out = session_counts_stream(stream, gap="30 minutes")
+    q = (out.writeStream.format("memory").queryName("sess_stream")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["user_id"], r["session_start"]): r["n_events"]
+           for r in spark.sql("SELECT * FROM sess_stream").collect()}
+    assert len(got) == 6                  # 1 + 2 + 3 sessions
+    assert all(n == 3 for n in got.values())
+
+    batch = {(r["user_id"], r["session_seq"]): r["n_events"]
+             for r in sessionize(src, gap_s=1800).collect()}
+    assert sorted(got.values()) == sorted(batch.values())
+    assert len(batch) == 6
