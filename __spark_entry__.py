@@ -540,6 +540,19 @@ def q_tpch_pricing(spark, sf_dir):
                  F.count(F.lit(1)).alias("n_rows")))
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document characteristic terms by tf·idf (deterministic
+    (score desc, term asc) cut; idf on bit-identical doubles)."""
+    return textstats.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+def q_retention(spark, sf_dir):
+    """Day-over-day user retention over the events stream (distinct daily
+    actives, left self-join on the next day)."""
+    from sparkcheck.operators.sessions import retention
+    return retention(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 # --- rows-only (engine-specific by nature; pytest-verified) ------------------
 
 
@@ -607,6 +620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_verdicts": q_orders_verdicts,
         "orders_violations": q_orders_violations,
         "tpch_pricing": q_tpch_pricing,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "retention": q_retention,
         # rows-only check (keyed by spark_partition_id — engine-specific by
         # nature, no SQL-expressible oracle; pytest-verified)
         "partition_stats": q_partition_stats,
@@ -670,4 +685,6 @@ def oracle_sql() -> dict[str, str]:
         "orders_verdicts": oracle.orders_verdicts(),
         "orders_violations": oracle.orders_violations(),
         "tpch_pricing": oracle.tpch_pricing(),
+        "tfidf_top_terms": oracle.tfidf_top_terms(),
+        "retention": oracle.retention(),
     }

@@ -123,3 +123,36 @@ def event_rate_anomaly(df: DataFrame, type_col: str = "event_type",
             .select("event_type", "hr", "cnt",
                     round4(zscore).alias("z4"),
                     (zscore > z).alias("anomaly")))
+
+
+def retention(df: DataFrame, user_col: str = "user_id",
+              ts_col: str = "ts", bucket_s: int = 86400) -> DataFrame:
+    """(day, n_users, n_retained, retention4) — classic day-over-day
+    retention: of the distinct users active in bucket d, the fraction also
+    active in d+1 (days with no successor bucket report 0 retained — a
+    LEFT join, so quiet-next-day cohorts still appear).
+
+    Scale shape: one map-side-combining distinct per (day, user), a
+    self-equi-join on (day+1, user) — both sides the same small
+    daily-actives frame — then an O(days) aggregate."""
+    day = F.expr(f"t div {int(bucket_s) * 1_000_000}")
+    actives = (df.filter(F.col(user_col).isNotNull()
+                         & F.col(ts_col).isNotNull())
+                 .select(F.col(user_col).alias("u"),
+                         ts_micros(F.col(ts_col)).alias("t"))
+                 .withColumn("day", day)
+                 .select("day", "u").distinct())
+    from .textstats import round4
+    a = actives.alias("a")
+    n = (actives.select((F.col("day") - 1).alias("day"),
+                        F.col("u").alias("u2"))
+                .alias("n"))
+    joined = a.join(n, (F.col("a.day") == F.col("n.day"))
+                    & (F.col("a.u") == F.col("n.u2")), "left")
+    return (joined.groupBy(F.col("a.day").alias("day"))
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.count("u2").alias("n_retained"))
+            .select("day", "n_users", "n_retained",
+                    round4(F.col("n_retained")
+                           / F.col("n_users").cast("double"))
+                    .alias("retention4")))

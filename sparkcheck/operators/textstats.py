@@ -149,3 +149,35 @@ def token_topk(df: DataFrame, k: int = 50, text_col: str = "text") \
                       .alias("token")))
     return (toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
                 .orderBy(F.desc("cnt"), F.asc("token")).limit(k))
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text") \
+        -> DataFrame:
+    """(doc_id, term, rnk, score4) — the k most characteristic terms per
+    document by tf·idf (idf = ln(N/df), natural log — both engines' ln
+    agrees bit-for-bit on identical doubles, same dependency the KL drift
+    oracle already rides). Ties break by term ascending so the cut is
+    deterministic cross-engine.
+
+    Scale shape: one explode → map-side-combining (doc, term) count; the
+    document-frequency table is a second aggregate over the same frame
+    joined back on term (vocabulary-sized — Zipf-bounded, shuffle join);
+    per-doc top-k is a row_number window over each doc's distinct terms
+    (bounded by doc length, never the corpus)."""
+    from pyspark.sql import Window
+    base = (df.filter(F.col(text_col).isNotNull())
+              .select("doc_id",
+                      F.explode(F.split(F.col(text_col), " "))
+                      .alias("term")))
+    tf = base.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = base.select("doc_id").distinct().count()
+    scored = (tf.join(dfreq, "term")
+                .withColumn("score",
+                            F.col("tf") * F.log(F.lit(float(n_docs))
+                                                / F.col("df"))))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("doc_id", "term", "rnk",
+                    round4(F.col("score")).alias("score4")))

@@ -1072,3 +1072,41 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE epoch_us(l_shipdate) <= {cutoff_us}
 GROUP BY l_returnflag, l_linestatus"""
+
+
+def tfidf_top_terms(k: int = 3) -> str:
+    """Per-doc tf·idf top terms (operators/textstats.tfidf_top_terms):
+    same idf = ln(N/df) on identical doubles, same (score desc, term asc)
+    deterministic cut."""
+    return f"""
+WITH base AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents WHERE text IS NOT NULL),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM base GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM base),
+scored AS (SELECT tf.doc_id, tf.term,
+                  tf.tf * ln(CAST(nd.n AS DOUBLE) / dfreq.df) AS score
+           FROM tf JOIN dfreq USING (term), nd),
+r AS (SELECT *, row_number() OVER
+        (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+      FROM scored)
+SELECT doc_id, term, CAST(rnk AS INT) AS rnk,
+       FLOOR(score * 10000 + 0.5) / 10000.0 AS score4
+FROM r WHERE rnk <= {k}"""
+
+
+def retention(bucket_s: int = 86400) -> str:
+    """Day-over-day retention (operators/sessions.retention): same distinct
+    daily-actives frame, same left self-join on (day+1, user)."""
+    bucket_us = int(bucket_s) * 1_000_000
+    return f"""
+WITH act AS (SELECT DISTINCT epoch_us(ts) // {bucket_us} AS day,
+                    user_id AS u
+             FROM events
+             WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+nxt AS (SELECT day - 1 AS day, u AS u2 FROM act)
+SELECT a.day AS day, count(*) AS n_users, count(n.u2) AS n_retained,
+  FLOOR((count(n.u2) / CAST(count(*) AS DOUBLE)) * 10000 + 0.5) / 10000.0
+    AS retention4
+FROM act a LEFT JOIN nxt n ON a.day = n.day AND a.u = n.u2
+GROUP BY a.day"""

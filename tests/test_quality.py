@@ -140,3 +140,41 @@ def test_training_shard_stage_semantics(spark):
         .collect()
     assert [r["doc_id"] for r in out] == [1]
     assert out[0]["n_tokens"] > 50
+
+
+def test_tfidf_top_terms_known_answer(spark):
+    """'rare' appears only in doc 1 → its top term; 'common' appears in all
+    docs → idf ln(1)=0 → never outranks; k cut respected with term-asc
+    tie-break."""
+    from sparkcheck.operators import textstats
+    docs = _docs(spark, [
+        (1, "common rare common"),
+        (2, "common zeta common zeta"),
+        (3, "common common"),
+    ])
+    out = {(r["doc_id"], r["rnk"]): r.asDict()
+           for r in textstats.tfidf_top_terms(docs, k=2).collect()}
+    assert out[(1, 1)]["term"] == "rare"
+    assert out[(2, 1)]["term"] == "zeta"
+    # common scores 0 everywhere (df == N) but still fills remaining ranks
+    assert out[(1, 2)]["term"] == "common"
+    assert out[(1, 2)]["score4"] == 0.0
+    assert out[(3, 1)]["term"] == "common"
+
+
+def test_retention_known_answer(spark):
+    """Day 0: users {1,2}; day 1: users {1,3}; day 2: {3} → day-0 retention
+    1/2, day-1 retention 1/2, day-2 retention 0 (no day 3)."""
+    from sparkcheck.operators.sessions import retention
+    rows = [(1, 10, 1), (2, 20, 2),                     # day 0
+            (3, 86410, 1), (4, 86420, 3),               # day 1
+            (5, 2 * 86400 + 10, 3)]                     # day 2
+    df = spark.createDataFrame(
+        rows, "event_id bigint, t bigint, user_id bigint") \
+        .withColumn("ts", F.timestamp_seconds(F.col("t"))).drop("t")
+    out = {r["day"]: r.asDict() for r in retention(df).collect()}
+    assert out[0]["n_users"] == 2 and out[0]["n_retained"] == 1
+    assert out[0]["retention4"] == 0.5
+    assert out[1]["n_users"] == 2 and out[1]["n_retained"] == 1
+    assert out[2]["n_users"] == 1 and out[2]["n_retained"] == 0
+    assert out[2]["retention4"] == 0.0
