@@ -540,6 +540,14 @@ def q_tpch_pricing(spark, sf_dir):
                  F.count(F.lit(1)).alias("n_rows")))
 
 
+def q_hash_sample(spark, sf_dir):
+    """Uniform deterministic hash sample (rate 0.3) — the reproducible
+    Bernoulli primitive under the stratified mixer."""
+    from sparkcheck.operators import sampling
+    return sampling.hash_sample(_docs(spark, sf_dir), "doc_id", 0.3) \
+        .select("doc_id")
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Per-document characteristic terms by tf·idf (deterministic
     (score desc, term asc) cut; idf on bit-identical doubles)."""
@@ -622,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing": q_tpch_pricing,
         "tfidf_top_terms": q_tfidf_top_terms,
         "retention": q_retention,
+        "hash_sample": q_hash_sample,
         # rows-only check (keyed by spark_partition_id — engine-specific by
         # nature, no SQL-expressible oracle; pytest-verified)
         "partition_stats": q_partition_stats,
@@ -687,4 +696,5 @@ def oracle_sql() -> dict[str, str]:
         "tpch_pricing": oracle.tpch_pricing(),
         "tfidf_top_terms": oracle.tfidf_top_terms(),
         "retention": oracle.retention(),
+        "hash_sample": oracle.hash_sample(),
     }

@@ -1110,3 +1110,12 @@ SELECT a.day AS day, count(*) AS n_users, count(n.u2) AS n_retained,
     AS retention4
 FROM act a LEFT JOIN nxt n ON a.day = n.day AND a.u = n.u2
 GROUP BY a.day"""
+
+
+def hash_sample(rate: float = 0.3) -> str:
+    """Uniform deterministic hash sample (operators/sampling.hash_sample):
+    same md5-nibble bucket, same threshold."""
+    from .operators.sampling import SAMPLE_MOD
+    return (f"SELECT doc_id FROM documents "
+            f"WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+            f"::BIGINT % {SAMPLE_MOD}) < {int(rate * SAMPLE_MOD)}")
