@@ -169,9 +169,14 @@ def main() -> None:
     from sparkcheck.operators.sessions import sessionize
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(cpus)
     ev_reps = 20
+    # replica key shift derived from the data (one O(1) setup aggregate):
+    # a hardcoded stride would silently collide replica key spaces if the
+    # generator ever grows the user domain, shrinking the keys these
+    # benches are meant to scale
+    ev_shift = ev.agg(F.max("user_id")).first()[0] + 1
     ev2m = (ev.crossJoin(spark.range(ev_reps).withColumnRenamed("id", "rep"))
               .withColumn("user_id",
-                          F.col("user_id") + F.col("rep") * 10_000)
+                          F.col("user_id") + F.col("rep") * ev_shift)
               .withColumn("event_id",
                           F.col("event_id") * ev_reps + F.col("rep"))
               .drop("rep"))

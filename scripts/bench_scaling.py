@@ -22,6 +22,7 @@ import json
 import multiprocessing as mp
 import os
 import platform
+import signal
 import subprocess
 import sys
 import time
@@ -73,23 +74,31 @@ def run_once(cores: int, replicas: int, sf_dir: str, use_submit: bool,
     timeout_s = int(os.environ.get("SPARKCHECK_SCALING_TIMEOUT", "3600"))
     last_err: Exception | None = None
     for attempt in range(2):
+        # own session → own process group: on timeout we killpg exactly this
+        # bench child and its JVM grandchild. (A host-wide
+        # `pkill -f pyspark-shell` would also take down unrelated local-mode
+        # sessions — pytest, an interactive shell — running on the box.)
+        proc = subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE,
+                                stderr=subprocess.PIPE, text=True, cwd=REPO,
+                                start_new_session=True)
         try:
-            out = subprocess.run(cmd, env=env, capture_output=True,
-                                 text=True, cwd=REPO, check=True,
-                                 timeout=timeout_s)
-            line = [l for l in out.stdout.splitlines()
-                    if l.startswith("{")][-1]
-            return json.loads(line)
+            stdout, stderr = proc.communicate(timeout=timeout_s)
         except subprocess.TimeoutExpired as e:
             last_err = e
-            # the JVM is a grandchild: killing the python driver usually
-            # takes it down (py4j parent-death watch), but a wedged executor
-            # can survive — sweep any orphaned local-mode JVM before retry
-            subprocess.run(["pkill", "-9", "-f", "pyspark-shell"],
-                           capture_output=True)
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)  # pgid == pid (setsid)
+            except ProcessLookupError:
+                pass
+            proc.wait()
             print(f"  local[{cores}]: subprocess hung past {timeout_s}s "
-                  f"(attempt {attempt + 1}/2), killed and retrying",
-                  flush=True)
+                  f"(attempt {attempt + 1}/2), killed its process group "
+                  f"and retrying", flush=True)
+            continue
+        if proc.returncode != 0:
+            raise subprocess.CalledProcessError(proc.returncode, cmd,
+                                                stdout, stderr)
+        line = [l for l in stdout.splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
     raise RuntimeError(
         f"local[{cores}] bench subprocess hung twice") from last_err
 

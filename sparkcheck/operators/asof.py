@@ -30,10 +30,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts_col: str,
               left_cols: list[str], right_cols: list[str],
               right_ts_name: str = "asof_ts_us") -> DataFrame:
     """Columns out: *left_cols, right_ts_name, *right_cols. Timestamps
-    compare on unix micros (UTC session tz == DuckDB epoch_us). The final
-    sort key includes the right payload struct so duplicate (key, ts) right
-    rows (absent in the test data, asserted by the oracle-side uniqueness
-    of events ts) would still fill deterministically."""
+    compare on unix micros (UTC session tz == DuckDB epoch_us). Duplicate
+    (key, ts) right rows are collapsed to max(payload) BEFORE the union —
+    lexicographic over right_cols, matching the oracle's GROUP BY + max —
+    so both engines see a tie-free right side by construction instead of
+    relying on each engine's (unspecified, for DuckDB ASOF) tie choice.
+    The dedupe is a map-side-combining aggregate on the right side only."""
     r_payload = F.struct(
         ts_micros(F.col(ts_col)).alias(right_ts_name),
         *[F.col(c) for c in right_cols])
@@ -43,10 +45,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts_col: str,
     # nothing
     right = right.filter(F.col(on).isNotNull() & F.col(ts_col).isNotNull())
     left = left.filter(F.col(on).isNotNull() & F.col(ts_col).isNotNull())
-    rt = right.select(F.col(on).alias("_k"),
-                      ts_micros(F.col(ts_col)).alias("_ts"),
-                      F.lit(0).alias("_side"),
-                      r_payload.alias("_r"))
+    rt = (right.select(F.col(on).alias("_k"),
+                       ts_micros(F.col(ts_col)).alias("_ts"),
+                       r_payload.alias("_r"))
+               .groupBy("_k", "_ts").agg(F.max("_r").alias("_r"))
+               .select("_k", "_ts", F.lit(0).alias("_side"), "_r"))
     r_ddl = rt.schema["_r"].dataType.simpleString()
     l_payload = F.struct(*[F.col(c) for c in left_cols])
     lt = left.select(F.col(on).alias("_k"),

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 DEFAULT_K = 8      # minhash functions
 DEFAULT_BANDS = 4  # bands (rows per band = K // BANDS)
+_HASHMIN_CP_EVERY = 6  # hash-min lineage-truncation cadence (plan ≤ 2^6)
 SHINGLE = 3        # word-shingle width
 
 
@@ -204,7 +205,8 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str,
 
 def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",
                          max_iter: int = 25,
-                         owner: list | None = None) -> DataFrame:
+                         owner: list | None = None,
+                         formulation: str = "hashmin") -> DataFrame:
     """Connected components over an undirected pair list via hash-min label
     propagation: every node starts labeled with its own id; each round a node
     takes the MIN of its label and its neighbors' labels; fixpoint = every
@@ -230,7 +232,25 @@ def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",
     one-shot consumers, pass an owner when the components feed several
     downstream frames.
 
-    NOTE eager: runs one Spark job per propagation round at call time."""
+    NOTE eager: runs one Spark job per propagation round at call time.
+    Every `_HASHMIN_CP_EVERY` rounds the label frame is rewritten through a
+    parquet checkpoint: the iterative plan references `labels` twice per
+    round (the join and the union), so the logical tree doubles every round
+    and plan canonicalization at persist-time OOMs the driver past ~8-10
+    rounds — truncation bounds the tree at 2^6 nodes while costing one tiny
+    columnar write only on long-diameter graphs (tight web near-dup
+    clusters converge before the first checkpoint and never pay it).
+
+    `formulation`: "hashmin" (default — O(diameter) rounds, 1 join/round,
+    right for the tight clusters web near-dup graphs form) or "star"
+    (alternating large-star/small-star contraction, Kiveris et al. 2014 —
+    O(log n) rounds at 2 joins/round, the escape hatch for chain-shaped
+    graphs whose diameter exceeds any sane hash-min bound)."""
+    if formulation == "star":
+        return _cc_star(pairs, a, b, max_iter, owner)
+    if formulation != "hashmin":
+        raise ValueError(f"unknown formulation {formulation!r} "
+                         "(expected 'hashmin' or 'star')")
     from pyspark.storagelevel import StorageLevel
     # the edge list (often the tail of an expensive candidate+verify
     # pipeline) is referenced once per round — persist it for the loop's
@@ -242,10 +262,16 @@ def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",
     labels = (edges.select(F.col("src").alias("id")).distinct()
                    .select("id", F.col("id").alias("lbl"))
                    .persist(StorageLevel.MEMORY_AND_DISK))
+    import shutil
+    import tempfile
+
+    spark = pairs.sparkSession
+    cp_root: str | None = None
+    cp_prev: str | None = None
     try:
         prev_sum = labels.agg(
             F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0]
-        for _ in range(max_iter):
+        for rnd in range(1, max_iter + 1):
             msgs = (edges.join(labels, edges["src"] == labels["id"])
                          .select(F.col("dst").alias("id"), F.col("lbl")))
             new_labels = (msgs.union(labels.select("id", "lbl"))
@@ -263,11 +289,28 @@ def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",
                     labels.unpersist()
                 return out
             prev_sum = new_sum
+            if rnd % _HASHMIN_CP_EVERY == 0:
+                # lineage truncation (see docstring): rewrite through
+                # parquet so the doubling plan tree resets. The file backs
+                # the frame from here on, so the dir must outlive the
+                # returned frame's consumption — only the PREVIOUS
+                # checkpoint is deleted.
+                if cp_root is None:
+                    cp_root = tempfile.mkdtemp(prefix="sparkcheck_cc_")
+                path = f"{cp_root}/round_{rnd}"
+                labels.write.mode("overwrite").parquet(path)
+                labels.unpersist()
+                labels = (spark.read.parquet(path)
+                          .persist(StorageLevel.MEMORY_AND_DISK))
+                if cp_prev is not None:
+                    shutil.rmtree(cp_prev, ignore_errors=True)
+                cp_prev = path
         labels.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds — "
-            "component diameter exceeds the bound; raise max_iter or use a "
-            "star-contraction formulation for chain-shaped graphs")
+            "component diameter exceeds the bound; raise max_iter or rerun "
+            "with formulation='star' (O(log n) rounds on chain-shaped "
+            "graphs)")
     except Exception:
         if labels.is_cached:
             labels.unpersist()
@@ -276,12 +319,125 @@ def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",
         edges.unpersist()
 
 
+def _cc_star(pairs: DataFrame, a: str, b: str, max_iter: int,
+             owner: list | None) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris, Lattanzi,
+    Mirrokni, Rastogi, Vassilvitskii, "Connected Components in MapReduce
+    and Beyond", SoCC 2014): each round rewires every edge toward the
+    minimum of a local neighborhood, halving effective diameter — O(log n)
+    rounds on ANY graph shape, including the chains that defeat hash-min.
+
+    large-star: for each node u, connect every strictly-larger neighbor to
+    min(Γ(u) ∪ {u}).  small-star: orient edges large→small, connect every
+    smaller neighbor (and u itself) to that minimum.  At the fixpoint the
+    graph is disjoint stars centered at component minima (Theorem 1 of the
+    paper), so the final edge list IS the labeling.
+
+    Convergence: a decimal(38,0) per-node label sum (labels never increase
+    — every rewire targets a neighborhood minimum ≤ the old endpoint), the
+    same monotone-checksum scheme the hash-min path uses; when the cheap
+    sum goes flat, one exact set-equality check (except + count) confirms
+    the edge-set fixpoint before declaring victory, so a sum collision can
+    never return a partial labeling.
+
+    Lineage: each round REWRITES the edge list through a parquet checkpoint
+    (GraphFrames' connectedComponents does the same) — both star operations
+    reference the edge frame twice (the symmetric union), so an in-memory
+    iterative plan doubles per round and OOMs the driver on plan-string
+    generation around round ~10. Checkpoint files live under
+    `checkpoint_dir` (default: a driver tempdir — fine in local mode; on a
+    multi-node cluster pass a SHARED path, e.g. on the object store).
+    Intermediate rounds are deleted as the loop advances; the FINAL round's
+    file backs the returned frame, so the directory must outlive
+    consumption of the result. Because the result is parquet-backed,
+    `owner` is accepted for signature parity but no persisted handle is
+    ever created (re-consuming re-scans a tiny parquet file, not the loop).
+
+    Scale shape per round: two groupBy-min aggregates + two shuffle joins
+    on the node key + distinct + one parquet rewrite of the (small,
+    ever-shrinking toward |V|) edge list. ~2× hash-min's per-round cost,
+    which is why hash-min stays the default for tight web near-dup
+    clusters. NOTE eager: runs Spark jobs per round at call time."""
+    import shutil
+    import tempfile
+
+    spark = pairs.sparkSession
+    cp_root = tempfile.mkdtemp(prefix="sparkcheck_cc_star_")
+
+    def _cp(df: DataFrame, rnd: int) -> DataFrame:
+        path = f"{cp_root}/round_{rnd}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    def _label_sum(e: DataFrame):
+        lab = (e.select(F.col("u").alias("id"), F.col("v").alias("lbl"))
+                .union(e.select(F.col("v").alias("id"),
+                                F.col("v").alias("lbl")))
+                .groupBy("id").agg(F.min("lbl").alias("lbl")))
+        return lab, lab.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0]
+
+    # one scan of `pairs` (often an expensive upstream pipeline): the
+    # canonical pair list is checkpointed first, and nodes/edges both read
+    # the checkpoint. Self-loop-only nodes survive via `nodes`.
+    base = _cp(pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+                    .distinct(), 0)
+    nodes = (base.select(F.col("u").alias("id"))
+                 .union(base.select(F.col("v").alias("id")))
+                 .distinct())
+    edges = base.filter(F.col("u") != F.col("v"))
+    prev_sum = _label_sum(edges)[1]
+    prev_path = None  # round 0 backs `nodes` — never deleted in the loop
+    for rnd in range(1, max_iter + 1):
+        # large-star: sym neighborhoods, emit (v, m) for v > u
+        sym = edges.union(edges.select(F.col("v").alias("u"),
+                                       F.col("u").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("_mn"))
+                   .select("u", F.least("_mn", F.col("u")).alias("m")))
+        large = (sym.join(mins, "u")
+                    .filter(F.col("v") > F.col("u"))
+                    .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                    .filter(F.col("u") != F.col("v")).distinct())
+        # small-star: orient large→small, emit (x, m) for x ∈ Γ(u)∪{u}
+        ori = large.select(F.greatest("u", "v").alias("u"),
+                           F.least("u", "v").alias("v")).distinct()
+        mins2 = (ori.groupBy("u").agg(F.min("v").alias("_mn"))
+                    .select("u", F.least("_mn", F.col("u")).alias("m")))
+        small = _cp(ori.join(mins2, "u")
+                       .select(F.col("v").alias("x"), "m")
+                       .union(mins2.select(F.col("u").alias("x"), "m"))
+                       .filter(F.col("x") != F.col("m"))
+                       .select(F.col("x").alias("u"), F.col("m").alias("v"))
+                       .distinct(), rnd)
+        lab, new_sum = _label_sum(small)
+        converged = False
+        if new_sum == prev_sum:
+            # cheap sum went flat → confirm the exact edge fixpoint
+            converged = (small.exceptAll(edges).isEmpty()
+                         and small.count() == edges.count())
+        if prev_path is not None:
+            shutil.rmtree(prev_path, ignore_errors=True)
+        if converged:
+            return (nodes.join(lab, "id", "left")
+                    .select("id",
+                            F.coalesce("lbl", "id").alias("component")))
+        prev_path = f"{cp_root}/round_{rnd}"
+        edges = small
+        prev_sum = new_sum
+    shutil.rmtree(cp_root, ignore_errors=True)
+    raise RuntimeError(
+        f"connected_components(star) did not converge in {max_iter} "
+        "rounds — raise max_iter (rounds are O(log n), so this "
+        "indicates a pathological input or too-small bound)")
+
+
 def fuzzy_drop_list(df: DataFrame, id_col: str, text_col: str = "text",
                     threshold: float = 0.8, k: int = DEFAULT_K,
                     bands: int = DEFAULT_BANDS,
                     max_bucket: int = DEFAULT_MAX_BUCKET,
                     variant: str = "md5", max_iter: int = 25,
-                    owner: list | None = None) -> DataFrame:
+                    owner: list | None = None,
+                    formulation: str = "hashmin") -> DataFrame:
     """The operational fuzzy half of dedup (the near-dup analogue of
     exact_drop_list, completing the reference's duplicate-check archetype
     /root/reference/src/test.spec.ts:407-446 at the fuzzy level): MinHash+LSH
@@ -299,14 +455,25 @@ def fuzzy_drop_list(df: DataFrame, id_col: str, text_col: str = "text",
     edges = (ngram_jaccard(df, cand, id_col, text_col)
              .filter(F.col("jaccard") >= threshold)
              .select("id_a", "id_b"))
-    comp = connected_components(edges, max_iter=max_iter, owner=owner)
+    try:
+        comp = connected_components(edges, max_iter=max_iter, owner=owner,
+                                    formulation=formulation)
+    except RuntimeError as e:
+        if "did not converge" not in str(e) or formulation != "hashmin":
+            raise
+        raise RuntimeError(
+            "fuzzy_drop_list: the near-dup graph is chain-shaped (component "
+            f"diameter > {max_iter} propagation rounds) — rerun with "
+            "formulation='star' (O(log n) contraction) or raise max_iter"
+        ) from e
     return (comp.filter(F.col("id") != F.col("component"))
                 .select("id", F.col("component").alias("keep_id")))
 
 
 def dedup_clean(df: DataFrame, id_col: str, text_col: str = "text",
                 threshold: float = 0.8, variant: str = "md5",
-                owner: list | None = None) -> DataFrame:
+                owner: list | None = None,
+                formulation: str = "hashmin") -> DataFrame:
     """THE dedup write, composed end-to-end the way a training-data pipeline
     runs it: exact dedup first (O(n) hash agg — catches mass duplication the
     LSH bucket cap deliberately skips), then fuzzy dedup over the exact
@@ -325,7 +492,7 @@ def dedup_clean(df: DataFrame, id_col: str, text_col: str = "text",
                         on=id_col, how="left_anti")
     fuzzy = fuzzy_drop_list(survivors, id_col, text_col,
                             threshold=threshold, variant=variant,
-                            owner=owner)
+                            owner=owner, formulation=formulation)
     return survivors.join(fuzzy.select(F.col("id").alias(id_col)),
                           on=id_col, how="left_anti")
 

@@ -406,18 +406,26 @@ def l2_norm(a):
 
 def norm_outliers(emb: DataFrame, vec_col: str = "embedding",
                   id_col: str = "vec_id", lo: float = 0.01,
-                  hi: float = 0.99) -> DataFrame:
+                  hi: float = 0.99, approx: bool = False,
+                  accuracy: int = 10_000) -> DataFrame:
     """(vec_id, norm, side) — embedding rows whose L2 norm falls outside the
-    [lo, hi] exact interpolated quantile band: the standard pre-ANN hygiene
-    filter (zero/degenerate vectors poison cosine; inflated norms dominate
+    [lo, hi] quantile band: the standard pre-ANN hygiene filter
+    (zero/degenerate vectors poison cosine; inflated norms dominate
     dot-products). Quantile bounds ride a 1-row broadcast; comparisons use
     the UNROUNDED norm (bit-identical across engines), output rounded 4dp.
-    At 10^12 rows swap `percentile` for approx_percentile (same plan, see
-    stats.numeric_quantiles_approx)."""
+
+    approx=False (default, oracle-pinned): exact interpolated `percentile`
+    — a sort-based aggregate, fine to ~10^8 rows. approx=True: the 10^12
+    path — `approx_percentile` (Greenwald-Khanna sketch, mergeable
+    partials, no global sort; rank error ≤ 1/accuracy). Same plan shape,
+    only the aggregate differs; band edges shift by at most the rank
+    tolerance (tested in test_sessions_asof.py)."""
     norms = emb.select(F.col(id_col), l2_norm(F.col(vec_col)).alias("_n"))
+    pfn = "approx_percentile" if approx else "percentile"
+    acc = f", {int(accuracy)}" if approx else ""
     q = norms.agg(
-        F.expr(f"percentile(_n, {lo})").alias("_q_lo"),
-        F.expr(f"percentile(_n, {hi})").alias("_q_hi"))
+        F.expr(f"{pfn}(_n, {lo}{acc})").alias("_q_lo"),
+        F.expr(f"{pfn}(_n, {hi}{acc})").alias("_q_hi"))
     from .textstats import round4
     return (norms.crossJoin(F.broadcast(q))
             .filter((F.col("_n") < F.col("_q_lo"))

@@ -163,7 +163,11 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text") \
     document-frequency table is a second aggregate over the same frame
     joined back on term (vocabulary-sized — Zipf-bounded, shuffle join);
     per-doc top-k is a row_number window over each doc's distinct terms
-    (bounded by doc length, never the corpus)."""
+    (bounded by doc length, never the corpus). N (the corpus document
+    count) stays IN the plan as a 1-row broadcast aggregate crossJoined
+    into the score expression — the same pattern as norm_outliers
+    (similarity.py) — so construction is lazy and the corpus is scanned
+    once per consuming action, not eagerly at build time."""
     from pyspark.sql import Window
     base = (df.filter(F.col(text_col).isNotNull())
               .select("doc_id",
@@ -171,11 +175,13 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text") \
                       .alias("term")))
     tf = base.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = base.select("doc_id").distinct().count()
+    nd = tf.agg(F.count_distinct("doc_id").cast("double").alias("_n_docs"))
     scored = (tf.join(dfreq, "term")
+                .crossJoin(F.broadcast(nd))
                 .withColumn("score",
-                            F.col("tf") * F.log(F.lit(float(n_docs))
-                                                / F.col("df"))))
+                            F.col("tf") * F.log(F.col("_n_docs")
+                                                / F.col("df")))
+                .drop("_n_docs"))
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
     return (scored.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k)

@@ -868,7 +868,8 @@ def sessionize(gap_s: int | None = None) -> str:
     from .operators.sessions import SESSION_GAP_S
     gap_us = int(SESSION_GAP_S if gap_s is None else gap_s) * 1_000_000
     return f"""
-WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
 l AS (SELECT *, lag(ts_us) OVER
         (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
 n AS (SELECT *, CASE WHEN prev IS NULL OR ts_us - prev > {gap_us}
@@ -886,10 +887,14 @@ FROM s GROUP BY user_id, session_seq"""
 def asof_profile(update_mod: int = 20) -> str:
     """As-of join oracle — DuckDB's NATIVE ASOF JOIN, a genuinely
     independent formulation of operators/asof.asof_join's union-then-window
-    plan (same >= convention: an exactly-simultaneous update is visible)."""
+    plan (same >= convention: an exactly-simultaneous update is visible).
+    Duplicate (user_id, ts) updates are collapsed to max(value), mirroring
+    the engine's right-side dedupe, so the (engine-unspecified) ASOF tie
+    choice can never enter the comparison."""
     return f"""
-WITH upd AS (SELECT user_id, epoch_us(ts) AS uts, value FROM events
-             WHERE event_id % {update_mod} = 0),
+WITH upd AS (SELECT user_id, epoch_us(ts) AS uts, max(value) AS value
+             FROM events WHERE event_id % {update_mod} = 0
+             GROUP BY user_id, epoch_us(ts)),
 ev AS (SELECT event_id, user_id, epoch_us(ts) AS ets FROM events)
 SELECT e.event_id AS event_id, e.user_id AS user_id,
        u.uts AS asof_ts_us, u.value AS asof_value

@@ -178,3 +178,24 @@ def test_retention_known_answer(spark):
     assert out[1]["n_users"] == 2 and out[1]["n_retained"] == 1
     assert out[2]["n_users"] == 1 and out[2]["n_retained"] == 0
     assert out[2]["retention4"] == 0.0
+
+
+def test_tfidf_construction_is_lazy(spark):
+    """N (the corpus doc count) rides IN the plan as a 1-row broadcast
+    aggregate: building the operator must launch ZERO Spark jobs (the old
+    formulation ran an eager distinct().count() scan at construction)."""
+    from sparkcheck.operators import textstats
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a d e"), (3, "f g a")],
+        "doc_id bigint, text string")
+    sc = spark.sparkContext
+    sc.setJobGroup("tfidf_ctor", "construction must be lazy")
+    try:
+        res = textstats.tfidf_top_terms(docs, k=2)
+        ctor_jobs = sc.statusTracker().getJobIdsForGroup("tfidf_ctor")
+    finally:
+        sc.setJobGroup("tfidf_other", "")
+    assert list(ctor_jobs) == [], ctor_jobs
+    # and the lazy plan still computes the right N: idf(a) = ln(3/3) = 0
+    out = {(r["doc_id"], r["term"]): r["score4"] for r in res.collect()}
+    assert all(s == 0.0 for (d, t), s in out.items() if t == "a")

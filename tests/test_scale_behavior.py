@@ -312,3 +312,82 @@ def test_fuzzy_drop_list_bounds_mass_duplication(spark):
     # exact dedup composes: the mass-dup group is caught at O(n)
     exact = dedup.exact_drop_list(df, id_col="rid")
     assert exact.count() == 499
+
+
+def test_connected_components_star_chain_past_hashmin_bound(spark):
+    """The star-contraction escape hatch: a 64-node chain (diameter 63)
+    defeats hash-min at max_iter=10 but converges under the alternating
+    large-star/small-star formulation in O(log n) rounds — and leaves no
+    persisted RDD behind."""
+    import pytest
+    from sparkcheck.operators.dedup import connected_components
+
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 64)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="formulation='star'"):
+        connected_components(chain, max_iter=10)
+    comp = {r["id"]: r["component"]
+            for r in connected_components(
+                chain, max_iter=10, formulation="star").collect()}
+    assert comp == {i: 1 for i in range(1, 65)}
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == before
+
+
+def test_connected_components_star_matches_hashmin(spark):
+    """Both formulations produce the identical (id, component-minimum)
+    labeling on a mixed-shape graph: chain + single edge + triangle +
+    two components sharing no nodes."""
+    from sparkcheck.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),
+         (10, 11),
+         (20, 21), (21, 22), (20, 22),
+         (30, 31), (31, 30),              # reverse-duplicated edge
+         (40, 40)],                       # self-loop: singleton labels itself
+        "id_a long, id_b long")
+    hm = {r["id"]: r["component"]
+          for r in connected_components(edges).collect()}
+    st = {r["id"]: r["component"]
+          for r in connected_components(
+              edges, formulation="star").collect()}
+    assert st == hm
+    assert st[40] == 40 and st[4] == 1 and st[22] == 20
+
+
+def test_connected_components_star_owner_lifecycle(spark):
+    """star is parquet-checkpoint-backed: it never creates a persisted
+    handle (owner accepted for signature parity, stays empty) and the
+    result survives repeated consumption (re-scans the final round file,
+    does not re-run the contraction)."""
+    from sparkcheck.operators.dedup import connected_components
+
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 20)], "id_a long, id_b long")
+    handles: list = []
+    out = connected_components(edges, formulation="star", owner=handles)
+    assert handles == []
+    assert {r["component"] for r in out.collect()} == {1}
+    assert out.count() == 20  # second consumption: parquet re-scan
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == before
+
+
+def test_fuzzy_drop_list_star_formulation_passthrough(spark):
+    """fuzzy_drop_list(formulation='star') runs the contraction end-to-end
+    on real near-dup text and yields the same drop list as hash-min."""
+    from sparkcheck.operators import dedup
+
+    near = spark.createDataFrame(
+        [(1000, "alpha beta gamma delta epsilon zeta eta theta"),
+         (1001, "alpha beta gamma delta epsilon zeta eta iota"),
+         (2000, "one two three four five six seven eight nine ten"),
+         (2001, "one two three four five six seven eight nine eleven")],
+        "rid long, text string")
+    hm = {(r["id"], r["keep_id"]) for r in dedup.fuzzy_drop_list(
+        near, id_col="rid", threshold=0.7).collect()}
+    st = {(r["id"], r["keep_id"]) for r in dedup.fuzzy_drop_list(
+        near, id_col="rid", threshold=0.7,
+        formulation="star").collect()}
+    assert st == hm == {(1001, 1000), (2001, 2000)}

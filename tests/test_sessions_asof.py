@@ -202,3 +202,72 @@ def test_sessionize_and_asof_drop_null_keys_and_ts(spark):
     # only user 2's event matches; the NULL-key update fills nothing and
     # the NULL-key/NULL-ts left rows are dropped
     assert [(r["event_id"], r["asof_value"]) for r in out] == [(4, 7.0)]
+
+
+def test_asof_duplicate_right_ts_collapses_to_max_payload(spark):
+    """Duplicate (key, ts) right rows are deduped to max(payload) BEFORE
+    the union — the tie is resolved by construction, not by either
+    engine's (unspecified) ASOF tie choice."""
+    left = _events(spark, [(1, 100, 7)]) \
+        .select("event_id", "user_id", "ts")
+    right = spark.createDataFrame(
+        [(7, 50, 1.0), (7, 50, 9.0), (7, 50, 4.0)],
+        "user_id bigint, t bigint, value double") \
+        .withColumn("ts", F.timestamp_seconds(F.col("t"))) \
+        .select("user_id", "ts", F.col("value").alias("asof_value"))
+    out = asof_join(left, right, on="user_id", ts_col="ts",
+                    left_cols=["event_id", "user_id"],
+                    right_cols=["asof_value"]).collect()
+    assert [(r["event_id"], r["asof_value"]) for r in out] == [(1, 9.0)]
+
+
+def test_norm_outliers_approx_rank_tolerance(spark):
+    """The approx=True path (approx_percentile, the 10^12 swap): with rank
+    error <= 1/accuracy, the flagged set differs from exact by at most a
+    few boundary ranks — mirror of the numeric_quantiles sketch test."""
+    from sparkcheck.operators.similarity import norm_outliers
+    n = 2000
+    df = spark.createDataFrame(
+        [(i, [float(i + 1), 0.0]) for i in range(n)],
+        "vec_id bigint, embedding array<float>")
+    exact = {r["vec_id"] for r in
+             norm_outliers(df, lo=0.05, hi=0.95).collect()}
+    approx = {r["vec_id"] for r in
+              norm_outliers(df, lo=0.05, hi=0.95, approx=True,
+                            accuracy=10_000).collect()}
+    # rank tolerance: n/accuracy ranks per band edge, 2 edges
+    tol = 2 * (n // 10_000 + 1)
+    assert len(exact.symmetric_difference(approx)) <= 2 * tol
+    # side labels agree on the intersection
+    sides_e = {r["vec_id"]: r["side"] for r in
+               norm_outliers(df, lo=0.05, hi=0.95).collect()}
+    sides_a = {r["vec_id"]: r["side"] for r in
+               norm_outliers(df, lo=0.05, hi=0.95, approx=True).collect()}
+    for vid in exact & approx:
+        assert sides_e[vid] == sides_a[vid]
+
+
+def test_funnel_plan_no_cartesian_without_broadcast(spark, tmp_path):
+    """Scale contract (broadcast disabled, the 100-TB shape): every frontier
+    join stays a keyed hash/merge join on the user key — no
+    CartesianProduct, no BroadcastNestedLoopJoin, no range-partitioned
+    global sort anywhere in the plan."""
+    from sparkcheck.operators.sessions import funnel
+    p = str(tmp_path / "ev.parquet")
+    spark.createDataFrame(
+        [(i, i * 10, i % 7, ["view", "click", "purchase"][i % 3])
+         for i in range(300)],
+        "event_id bigint, t bigint, user_id bigint, event_type string") \
+        .withColumn("ts", F.timestamp_seconds(F.col("t"))).drop("t") \
+        .write.parquet(p)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = funnel(spark.read.parquet(p)) \
+            ._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
