@@ -161,6 +161,65 @@ def main() -> None:
         similarity.ivf_topk(emb, [0, 1, 2, 3, 4], k=10, nprobe=2)),
         reps=inner)
 
+    # --- ANN at a corpus size where the scale machinery ENGAGES ----------
+    # The shipped embeddings table is 500-2000 vectors — auto_centroids
+    # lands at ~45 and the IVF Arrow auto-switch / >16-bit LSH widths never
+    # run under timed bench (r4 verdict gap). Amplify to ~1.02M vectors
+    # (deterministic hash-perturbed replicas), written to parquet once
+    # (untimed) so the timed runs scan columnar storage like production:
+    #   auto_centroids(1_024_000) = 1024 > IVF_UDF_SWITCH=256 → the Arrow
+    #   matmul assignment path, confirmed from the executed plan;
+    #   auto_bits(1_024_000, target_bucket_size=8) = 17 > 16 planes,
+    #   bucketed via the Arrow signature UDF (the scale path — the codegen
+    #   fold stays the oracle formulation at driver-gate sizes).
+    import shutil
+    import tempfile
+
+    from sparkcheck.sources.embeddings import load_embeddings
+    ann_target = int(os.environ.get("SPARKCHECK_BENCH_ANN_ROWS",
+                                    "1024000"))
+    ann_queries = [0, 1, 2, 3, 4]
+    ann_block: dict = {}
+    if ann_target > 0:
+        n_base = _force(emb)
+        ann_reps = max(1, ann_target // n_base)
+        ann_dir = tempfile.mkdtemp(prefix="sparkcheck_ann_")
+        load_embeddings(spark, sf_dir, replicas=ann_reps) \
+            .write.mode("overwrite").parquet(f"{ann_dir}/emb")
+        emb1m = spark.read.parquet(f"{ann_dir}/emb")
+        n1m = _force(emb1m)
+        bits1m = similarity.auto_bits(n1m, target_bucket_size=8)
+        c1m = similarity.auto_centroids(n1m)
+        timed("ann_lsh_topk_1m", lambda: _force(
+            similarity.lsh_topk(emb1m, ann_queries, k=10, bits=bits1m,
+                                tables=2, use_udf=True)), reps=inner)
+        timed("ann_ivf_topk_1m", lambda: _force(
+            similarity.ivf_topk(emb1m, ann_queries, k=10, nprobe=2)),
+            reps=inner)
+        # plan confirmation: the auto-switched assignment really is the
+        # Arrow path (ArrowEvalPython stage present only above the switch)
+        ivf_plan = similarity.ivf_topk(emb1m, ann_queries, k=10, nprobe=2) \
+            ._jdf.queryExecution().executedPlan().toString()
+        # recall spot-check vs the Arrow brute force (exact, per-batch
+        # top-k merge — untimed: it's the oracle, not the operator)
+        brute1m = {(r["query_id"], r["vec_id"]) for r in
+                   similarity.brute_topk_udf(emb1m, ann_queries, k=10)
+                   .collect()}
+        lsh1m = {(r["query_id"], r["vec_id"]) for r in
+                 similarity.lsh_topk(emb1m, ann_queries, k=10, bits=bits1m,
+                                     tables=2, use_udf=True).collect()}
+        ivf1m = {(r["query_id"], r["vec_id"]) for r in
+                 similarity.ivf_topk(emb1m, ann_queries, k=10, nprobe=2)
+                 .collect()}
+        ann_block = {
+            "rows": n1m, "bits": bits1m, "centroids": c1m,
+            "ivf_arrow_assignment": ("ArrowEvalPython" in ivf_plan
+                                     and c1m > similarity.IVF_UDF_SWITCH),
+            "recall_lsh": round(len(brute1m & lsh1m) / len(brute1m), 4),
+            "recall_ivf": round(len(brute1m & ivf1m) / len(brute1m), 4),
+        }
+        shutil.rmtree(ann_dir, ignore_errors=True)
+
     # event-stream operators over a replica-amplified events table (users
     # shifted per replica so the key space scales with the data — the
     # shape a real crawl log has). events.parquet is one file: repartition
@@ -208,6 +267,19 @@ def main() -> None:
         "cores": cpus,
         "replicas": replicas,
     }
+    if ann_block:
+        out["ann_1m"] = ann_block
+    # same-day A/B evidence (scripts/bench_ab.py writes it; round-over-round
+    # headline comparisons are only trustworthy produced that way — this
+    # host shows 30% same-config spread across days)
+    ab_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH", "ab_latest.json")
+    if os.path.exists(ab_path):
+        try:
+            with open(ab_path) as f:
+                out["ab"] = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            pass
     print(json.dumps(out))
 
 

@@ -63,6 +63,64 @@ def brute_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
                   .filter(F.col("rank") <= k))
 
 
+def brute_topk_udf(emb: DataFrame, query_ids: list[int], k: int = 10,
+                   id_col: str = "vec_id", vec_col: str = "embedding") \
+        -> DataFrame:
+    """Exact top-k at scale — the Arrow formulation of brute_topk (asserted
+    ≡ on the 4dp grid in pytest): collect the Q query vectors once
+    (bounded), score each Arrow batch with ONE (batch×dim)·(dim×Q) matmul,
+    and keep only the per-batch top-k per query, so the global window sees
+    O(batches·Q·k) candidate rows instead of N·Q. Scores land on the same
+    floor(x·1e4+0.5)/1e4 grid as cosine4, ties broken by vec_id — the
+    per-batch ordering is the same total order as the global one, so
+    per-batch pruning can never drop a global top-k member.
+
+    This is the recall oracle for lsh_topk/ivf_topk at corpus sizes where
+    the interpreted-lambda cosine of brute_topk would take minutes
+    (higher-order array lambdas run outside codegen)."""
+    from pyspark.sql import Window
+
+    rows = sorted(emb.filter(F.col(id_col).isin(query_ids))
+                     .select(id_col, vec_col).collect(),
+                  key=lambda r: r[id_col])
+    qids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                     for r in rows])
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+
+    def part(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy().astype(np.int64)
+            sims = (m @ qmat.T) / (np.sqrt((m * m).sum(axis=1))[:, None]
+                                   * qnorm[None, :])
+            sims = np.floor(sims * 10000 + 0.5) / 10000.0
+            out = []
+            for j, qid in enumerate(qids):
+                s = sims[:, j]
+                mask = ids != qid           # exclude self
+                cand = np.flatnonzero(mask)
+                if len(cand) > k:
+                    # total order (-score, vec_id): lexsort is ascending →
+                    # negate score; stable + id key = deterministic
+                    order = np.lexsort((ids[cand], -s[cand]))[:k]
+                    cand = cand[order]
+                out.append(pd.DataFrame({
+                    "query_id": qid, "vec_id": ids[cand],
+                    "score": s[cand]}))
+            yield pd.concat(out, ignore_index=True)
+
+    cand = (emb.select(id_col, vec_col)
+               .mapInPandas(part,
+                            "query_id long, vec_id long, score double"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("vec_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k))
+
+
 def hyperplane_ints(dim: int, bits: int, seed: int = 7) -> list[list[int]]:
     """Engine-independent random hyperplanes: integer coordinates derived
     from md5 so any engine (Spark, DuckDB, numpy) reproduces the identical

@@ -381,3 +381,42 @@ def test_auto_bits_ladder_python_vs_sql_past_16(spark):
         assert py == sql, (n, py, sql)
     assert auto_bits(10 ** 9) == 23 and auto_bits(10 ** 12) == 30
     con.close()
+
+
+def test_brute_topk_udf_matches_sql_path(spark):
+    """The Arrow matmul brute force (the recall oracle at 10^6+ corpora)
+    produces the identical (query, neighbor, score, rank) set as the
+    interpreted-lambda SQL formulation on the 4dp grid."""
+    emb = _emb(spark)
+    a = similarity.brute_topk(emb, [0, 1, 2, 3, 4], k=10).collect()
+    b = similarity.brute_topk_udf(emb, [0, 1, 2, 3, 4], k=10).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert [(r["query_id"], r["vec_id"], r["score"], r["rank"])
+            for r in sorted(a, key=key)] == \
+           [(r["query_id"], r["vec_id"], r["score"], r["rank"])
+            for r in sorted(b, key=key)]
+
+
+def test_load_embeddings_amplified_deterministic(spark):
+    """Replica-amplified corpus: exact row count, collision-free id spaces,
+    distinct perturbed vectors, and bit-stable across invocations (integer
+    hash noise, no RNG state)."""
+    from sparkcheck.sources.embeddings import load_embeddings
+    amp = load_embeddings(spark, SF_SMALL, replicas=3)
+    n_base = _emb(spark).count()
+    assert amp.count() == 3 * n_base
+    assert amp.select("vec_id").distinct().count() == 3 * n_base
+    # replicas of base row 0 are near (perturb=0.1) but not equal
+    rows = {r["vec_id"]: list(r["embedding"])
+            for r in amp.filter(
+                F.col("vec_id") % n_base == 0).collect()}
+    v0, v1 = rows[0], rows[n_base]
+    assert v0 != v1
+    import numpy as np
+    a, b = np.array(v0), np.array(v1)
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos > 0.95, cos
+    again = {r["vec_id"]: list(r["embedding"])
+             for r in load_embeddings(spark, SF_SMALL, replicas=3)
+             .filter(F.col("vec_id") % n_base == 0).collect()}
+    assert again == rows
