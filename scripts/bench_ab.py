@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Same-afternoon A/B: the ONLY trustworthy round-over-round comparison.
+
+This host shows ~30% same-config spread across days (external contention),
+so "faster/slower than last round" claims read from BENCH_rN files of
+different days are noise. This script produces the comparison the honest
+way, in one command:
+
+  * the previous revision is materialized in a git WORKTREE (never a
+    checkout into the live tree — `git checkout <rev> -- files` destroys
+    uncommitted edits, the documented foot-gun);
+  * both sides run the identical bench subprocess (SPARKCHECK_BENCH_ONLY=
+    full_suite), INTERLEAVED prev/head/prev/head... so a contention burst
+    hits both sides equally, never two Spark jobs concurrently;
+  * best-of-N per side (the contention model: external noise only ever
+    ADDS time, so min is the clean estimate).
+
+Writes BENCH/ab_latest.json; bench.py inlines that file as the "ab" block
+of its JSON line, so the per-round BENCH_rN record carries the evidence.
+
+Usage: python scripts/bench_ab.py [--prev REV] [--reps 3] [--cores 32]
+                                  [--replicas 400] [--sf /root/testdata/sf0.1]
+
+The working tree must be clean (committed) — the A/B is HEAD vs REV, and
+an uncommitted diff would silently not be measured.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import signal
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def sh(args: list[str], cwd: str = REPO) -> str:
+    return subprocess.run(args, cwd=cwd, check=True, capture_output=True,
+                          text=True).stdout.strip()
+
+
+def run_once(tree: str, cores: int, replicas: int, sf_dir: str,
+             timeout_s: int) -> float:
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_CPUS=str(cores),
+               SPARKCHECK_BENCH_REPLICAS=str(replicas),
+               SPARKCHECK_BENCH_ONLY="full_suite",
+               SPARKCHECK_BENCH_INNER="1",
+               PYTHONPATH=tree)
+    # own process group so a hung child is killed exactly, not host-wide
+    # (same discipline as bench_scaling.run_once)
+    proc = subprocess.Popen([sys.executable, os.path.join(tree, "bench.py")],
+                            env=env, cwd=tree, stdout=subprocess.PIPE,
+                            stderr=subprocess.DEVNULL, text=True,
+                            start_new_session=True)
+    try:
+        stdout, _ = proc.communicate(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        proc.wait()
+        raise
+    if proc.returncode != 0:
+        raise subprocess.CalledProcessError(proc.returncode, "bench.py")
+    line = [l for l in stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)["queries"]["full_suite"]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--prev", default="HEAD~1",
+                    help="revision for the B side (default HEAD~1)")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--replicas", type=int, default=400)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--timeout", type=int, default=1800)
+    args = ap.parse_args()
+
+    dirty = [l for l in sh(["git", "status", "--porcelain",
+                            "--untracked-files=no"]).splitlines()
+             if not l.endswith("PROGRESS.jsonl")]  # driver-appended telemetry
+    if dirty:
+        print("ERROR: working tree dirty — commit first; the A/B measures "
+              "HEAD vs --prev and would silently skip uncommitted edits",
+              file=sys.stderr)
+        return 2
+    head = sh(["git", "rev-parse", "--short", "HEAD"])
+    prev = sh(["git", "rev-parse", "--short", args.prev])
+    wt = f"/tmp/sparkcheck_ab_{prev}"
+    if os.path.exists(wt):
+        subprocess.run(["git", "worktree", "remove", "--force", wt],
+                       cwd=REPO, capture_output=True)
+        shutil.rmtree(wt, ignore_errors=True)
+    sh(["git", "worktree", "add", "--detach", wt, prev])
+    try:
+        runs: dict[str, list[float]] = {"prev": [], "head": []}
+        for i in range(args.reps):
+            # interleaved, serial — never two Spark jobs at once
+            for side, tree in (("prev", wt), ("head", REPO)):
+                t0 = time.time()
+                secs = run_once(tree, args.cores, args.replicas, args.sf,
+                                args.timeout)
+                runs[side].append(round(secs, 3))
+                print(f"rep {i + 1}/{args.reps} {side} ({head if side == 'head' else prev}): "
+                      f"full_suite {secs:.2f}s "
+                      f"(subprocess {time.time() - t0:.0f}s)", flush=True)
+        best_prev, best_head = min(runs["prev"]), min(runs["head"])
+        out = {
+            "prev_rev": prev, "head_rev": head,
+            "date": time.strftime("%Y-%m-%d"),
+            "config": {"cores": args.cores, "replicas": args.replicas,
+                       "sf": args.sf.rstrip("/").split("/")[-1],
+                       "metric": "full_suite seconds, interleaved, "
+                                 f"best-of-{args.reps}"},
+            "runs": runs,
+            "best": {"prev": best_prev, "head": best_head},
+            "head_over_prev": round(best_prev / best_head, 4),
+        }
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "ab_latest.json"), "w") as f:
+            json.dump(out, f, indent=1)
+        print(json.dumps(out))
+        return 0
+    finally:
+        subprocess.run(["git", "worktree", "remove", "--force", wt],
+                       cwd=REPO, capture_output=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
