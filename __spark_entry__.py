@@ -561,6 +561,26 @@ def q_retention(spark, sf_dir):
     return retention(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_ann_brute_topk_arrow(spark, sf_dir):
+    """The Arrow matmul brute force (one (batch×dim)·(dim×Q) BLAS call per
+    Arrow batch, per-batch top-k pruning, global window merge — the exact
+    scorer that stays seconds at 10^6 rows) against the SAME oracle SQL as
+    ann_brute_topk: proof the scale formulation lands on the identical 4dp
+    grid end-to-end."""
+    return similarity.brute_topk_udf(_emb(spark, sf_dir), [0, 1, 2, 3, 4],
+                                     k=10)
+
+
+def q_dedup_fuzzy_drop_list_star(spark, sf_dir):
+    """fuzzy_drop_list through the large-star/small-star contraction
+    (O(log n) rounds — the escape hatch for chain-shaped near-dup graphs)
+    instead of hash-min label propagation, checked against the same
+    recursive-reachability CTE oracle: both formulations must label every
+    duplicate with its component's minimum id."""
+    return dedup.fuzzy_drop_list(_pages(spark, sf_dir), id_col="rid",
+                                 threshold=0.8, formulation="star")
+
+
 # --- rows-only (engine-specific by nature; pytest-verified) ------------------
 
 
@@ -631,6 +651,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "retention": q_retention,
         "hash_sample": q_hash_sample,
+        "ann_brute_topk_arrow": q_ann_brute_topk_arrow,
+        "dedup_fuzzy_drop_list_star": q_dedup_fuzzy_drop_list_star,
         # rows-only check (keyed by spark_partition_id — engine-specific by
         # nature, no SQL-expressible oracle; pytest-verified)
         "partition_stats": q_partition_stats,
@@ -697,4 +719,9 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": oracle.tfidf_top_terms(),
         "retention": oracle.retention(),
         "hash_sample": oracle.hash_sample(),
+        # same oracle text as their sibling queries by design: the Arrow
+        # brute force and the star contraction are alternative ENGINE
+        # formulations of semantics the oracle already states once
+        "ann_brute_topk_arrow": oracle.ann_brute_topk(),
+        "dedup_fuzzy_drop_list_star": oracle.dedup_fuzzy_drop_list(),
     }

@@ -200,8 +200,13 @@ def main() -> None:
         # Arrow path (ArrowEvalPython stage present only above the switch)
         ivf_plan = similarity.ivf_topk(emb1m, ann_queries, k=10, nprobe=2) \
             ._jdf.queryExecution().executedPlan().toString()
-        # recall spot-check vs the Arrow brute force (exact, per-batch
-        # top-k merge — untimed: it's the oracle, not the operator)
+        # the Arrow brute force is both the recall oracle AND a headline
+        # point of its own: at Q=5 queries the one-pass exact scan beats
+        # IVF (whose cost is the query-independent corpus assignment —
+        # IVF amortizes over many queries, brute wins at few)
+        timed("ann_brute_topk_1m", lambda: _force(
+            similarity.brute_topk_udf(emb1m, ann_queries, k=10)),
+            reps=inner)
         brute1m = {(r["query_id"], r["vec_id"]) for r in
                    similarity.brute_topk_udf(emb1m, ann_queries, k=10)
                    .collect()}
