@@ -581,6 +581,25 @@ def q_dedup_fuzzy_drop_list_star(spark, sf_dir):
                                  threshold=0.8, formulation="star")
 
 
+def q_dup_gram_frac(spark, sf_dir):
+    """Cross-document duplicate n-gram fraction (RefinedWeb/MassiveText
+    dup_ngram_frac signal): the share of each document's distinct word
+    3-grams that appear in at least one other document — explode grams,
+    distinct pairs, per-gram doc counts, join back, per-doc share."""
+    return (dedup.cross_doc_gram_frac(_docs(spark, sf_dir), "doc_id")
+                 .withColumnRenamed("id", "doc_id"))
+
+
+def q_host_cap(spark, sf_dir):
+    """C4-style per-domain contribution cap over the pages url host: at
+    most 3 documents per host, chosen by deterministic md5(id) rank via
+    the salted two-phase window (the hot-host-safe formulation)."""
+    from sparkcheck.operators.sampling import capped_by_key
+    host = F.regexp_extract(F.col("url"), oracle.HOST_RE, 1)
+    return capped_by_key(_pages(spark, sf_dir), host, "rid", cap=3,
+                         key_name="host").select("rid", "host", "rk")
+
+
 # --- rows-only (engine-specific by nature; pytest-verified) ------------------
 
 
@@ -653,6 +672,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "ann_brute_topk_arrow": q_ann_brute_topk_arrow,
         "dedup_fuzzy_drop_list_star": q_dedup_fuzzy_drop_list_star,
+        "dup_gram_frac": q_dup_gram_frac,
+        "host_cap": q_host_cap,
         # rows-only check (keyed by spark_partition_id — engine-specific by
         # nature, no SQL-expressible oracle; pytest-verified)
         "partition_stats": q_partition_stats,
@@ -724,4 +745,6 @@ def oracle_sql() -> dict[str, str]:
         # formulations of semantics the oracle already states once
         "ann_brute_topk_arrow": oracle.ann_brute_topk(),
         "dedup_fuzzy_drop_list_star": oracle.dedup_fuzzy_drop_list(),
+        "dup_gram_frac": oracle.dup_gram_frac(),
+        "host_cap": oracle.host_cap(),
     }

@@ -531,3 +531,50 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text",
     return (df.filter(F.col(text_col).isNotNull())
               .select(F.col(id_col).alias("id"),
                       simhash_bits(text_col, bits).alias("simhash")))
+
+
+def cross_doc_gram_frac(df: DataFrame, id_col: str, text_col: str = "text",
+                        n: int = SHINGLE) -> DataFrame:
+    """Per-document cross-corpus duplicate n-gram fraction — the
+    RefinedWeb/MassiveText-style `dup_ngram_frac` filter signal: the share
+    of a document's DISTINCT word n-grams that also appear in at least one
+    OTHER document. Documents shorter than n words contribute their whole
+    text as the single gram (same degenerate case as `shingles`).
+
+    Output: (id, n_grams, n_dup_grams, dup_frac) with dup_frac 4dp-floored
+    (the shared cross-engine float convention).
+
+    Plan: explode gram START POSITIONS (codegen sequence + slice +
+    array_join — scalar exprs in the hot per-element loop, not interpreted
+    array lambdas, per the minhash lesson in BENCH/BASELINE.md), DISTINCT
+    (id, gram), one map-side-combining aggregate per gram for document
+    counts, join back, per-doc aggregate. Three key-partitioned shuffles,
+    nothing all-pairs; the gram→count join is AQE's call (the dup-gram side
+    is data-dependent). At 100 TB swap the gram string for xxhash64(gram)
+    to cut shuffle width — counts identical up to 64-bit collisions; the
+    oracled formulation keeps the string so both engines group on
+    byte-identical keys.
+    """
+    words = F.split(F.col(text_col), " ")
+    base = (df.filter(F.col(text_col).isNotNull())
+              .select(F.col(id_col).alias("id"), words.alias("w")))
+    # start index 0 encodes the degenerate whole-text gram
+    starts = (F.when(F.size("w") >= n,
+                     F.sequence(F.lit(1), F.size("w") - (n - 1)))
+               .otherwise(F.array(F.lit(0))))
+    grams = (base.select("id", F.explode(starts).alias("i"), "w")
+                 .select("id",
+                         F.when(F.col("i") == 0, F.array_join("w", " "))
+                          .otherwise(F.array_join(
+                              F.slice("w", F.col("i"), n), " "))
+                          .alias("gram")))
+    dg = grams.distinct()
+    gc = dg.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    dup = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).cast("bigint")
+    return (dg.join(gc, "gram")
+              .groupBy("id")
+              .agg(F.count(F.lit(1)).alias("n_grams"),
+                   dup.alias("n_dup_grams"))
+              .select("id", "n_grams", "n_dup_grams",
+                      (F.floor(F.col("n_dup_grams") / F.col("n_grams")
+                               * 1e4 + F.lit(0.5)) / 1e4).alias("dup_frac")))

@@ -44,3 +44,46 @@ def stratified_hash_sample(df: DataFrame, id_col: str, strata_col: str,
         thr = F.when(F.col(strata_col) == k,
                      F.lit(int(rates[k] * SAMPLE_MOD))).otherwise(thr)
     return df.filter(hash_bucket(F.col(id_col)) < thr)
+
+
+CAP_SALT_BUCKETS = 32  # phase-1 buckets for the skew-safe per-key cap
+
+
+def capped_by_key(df: DataFrame, key, id_col: str, cap: int,
+                  key_name: str = "key",
+                  salt_buckets: int = CAP_SALT_BUCKETS) -> DataFrame:
+    """Per-key contribution cap (C4/RefinedWeb-style domain capping): keep
+    at most `cap` rows per key, chosen deterministically by md5(id) rank —
+    the same stable-hash ordering the sampling family uses, so the kept
+    subset is identical across runs, engines, and cluster sizes.
+
+    Output: the surviving rows with `key_name` and their final rank `rk`
+    (1..cap) appended.
+
+    Scale: a single hot key (the measured ~20% hot.example host skew) would
+    put 20% of the corpus into ONE window partition — window functions get
+    no AQE skew split. Two-phase salted cap instead: rows are ranked within
+    (key, salt) buckets and locally capped first — any row in the global
+    top-`cap` of its key ranks ≤ cap inside its own salt bucket too, so the
+    prune is lossless — then the global window ranks the ≤ salt_buckets×cap
+    survivors per key. The unsplittable per-key sort never sees more than
+    salt_buckets×cap rows, regardless of skew. Lossless-prune equivalence
+    is pinned by tests/test_capping_grams.py against the one-window
+    formulation (which is also what the DuckDB oracle states).
+    """
+    from pyspark.sql import Window
+
+    key_c = F.col(key) if isinstance(key, str) else key
+    ordc = F.md5(F.col(id_col).cast("string"))
+    base = df.withColumn(key_name, key_c) \
+             .withColumn("_salt", F.pmod(F.xxhash64(F.col(id_col)),
+                                         F.lit(salt_buckets)))
+    w1 = Window.partitionBy(key_name, "_salt") \
+               .orderBy(ordc.asc(), F.col(id_col).asc())
+    pruned = (base.withColumn("_r1", F.row_number().over(w1))
+                  .filter(F.col("_r1") <= cap)
+                  .drop("_salt", "_r1"))
+    w2 = Window.partitionBy(key_name) \
+               .orderBy(ordc.asc(), F.col(id_col).asc())
+    return (pruned.withColumn("rk", F.row_number().over(w2))
+                  .filter(F.col("rk") <= cap))

@@ -1124,3 +1124,47 @@ def hash_sample(rate: float = 0.3) -> str:
     return (f"SELECT doc_id FROM documents "
             f"WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
             f"::BIGINT % {SAMPLE_MOD}) < {int(rate * SAMPLE_MOD)}")
+
+
+def dup_gram_frac(n: int = 3) -> str:
+    """cross_doc_gram_frac oracle (operators/dedup.py): identical word
+    n-grams (DuckDB list slices over string_split vs Spark sequence+slice —
+    both keep empty tokens, both fall back to the whole text below n
+    words), DISTINCT (doc, gram), per-gram doc counts, per-doc duplicate
+    share 4dp-floored. Gram keys are the raw strings on BOTH sides, so the
+    group keys are byte-identical."""
+    return f"""
+WITH g AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(string_split(text, ' ')) >= {n} THEN
+      list_transform(range(1, len(string_split(text, ' ')) - {n - 2}),
+                     i -> array_to_string(
+                            string_split(text, ' ')[i:i+{n - 1}], ' '))
+    ELSE [text] END) AS gram
+  FROM documents WHERE text IS NOT NULL),
+dg AS (SELECT DISTINCT doc_id, gram FROM g),
+gc AS (SELECT gram, count(*) AS n_docs FROM dg GROUP BY gram)
+SELECT dg.doc_id AS doc_id, count(*) AS n_grams,
+       CAST(sum(CASE WHEN gc.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_grams,
+       FLOOR(CAST(sum(CASE WHEN gc.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) * 10000 + 0.5) / 10000.0 AS dup_frac
+FROM dg JOIN gc USING (gram)
+GROUP BY dg.doc_id"""
+
+
+def host_cap(cap: int = 3) -> str:
+    """capped_by_key oracle (operators/sampling.py): ONE global window
+    states the semantics — the engine's salted two-phase prune is lossless
+    by construction (a global top-cap row ranks <= cap in its own salt
+    bucket), so the single-window SQL and the skew-safe plan must agree
+    row-for-row."""
+    return f"""
+WITH pages AS ({pages_cte('duckdb', REPLICAS)}),
+h AS (SELECT rid, regexp_extract(url, '{HOST_RE}', 1) AS host FROM pages),
+r AS (SELECT rid, host,
+             CAST(row_number() OVER (PARTITION BY host
+                                     ORDER BY md5(CAST(rid AS VARCHAR)),
+                                              rid) AS INT) AS rk
+      FROM h)
+SELECT rid, host, rk FROM r WHERE rk <= {cap}"""

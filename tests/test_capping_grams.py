@@ -1,0 +1,99 @@
+"""Per-key contribution cap (operators/sampling.capped_by_key) and
+cross-document duplicate n-gram fraction (operators/dedup.cross_doc_gram_frac).
+
+The cap's load-bearing claim is the LOSSLESS PRUNE: the salted two-phase
+formulation (local cap inside (key, salt) buckets, then the global window
+over the survivors) must equal the naive one-window top-cap row-for-row —
+that equivalence is what lets the per-key sort stay bounded at
+salt_buckets x cap rows under arbitrary key skew. The DuckDB oracle states
+the one-window form; these tests pin the engine-side equivalence directly.
+"""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sparkcheck.operators.dedup import cross_doc_gram_frac
+from sparkcheck.operators.sampling import capped_by_key
+
+
+def _skewed(spark):
+    # one hot host with 200 rows, a tail of small hosts incl. below-cap ones
+    rows = [(i, "hot.example") for i in range(200)]
+    rows += [(1000 + i, f"h{i % 7}.example") for i in range(40)]
+    rows += [(2000, "solo.example")]
+    return spark.createDataFrame(rows, "rid bigint, host string")
+
+
+def _naive_cap(df, cap):
+    w = Window.partitionBy("host").orderBy(
+        F.md5(F.col("rid").cast("string")).asc(), F.col("rid").asc())
+    return (df.withColumn("rk", F.row_number().over(w))
+              .filter(F.col("rk") <= cap))
+
+
+def test_capped_by_key_equals_single_window(spark):
+    df = _skewed(spark)
+    got = sorted(capped_by_key(df, "host", "rid", cap=3, key_name="host",
+                               salt_buckets=8)
+                 .select("rid", "host", "rk").collect())
+    want = sorted(_naive_cap(df, 3).select("rid", "host", "rk").collect())
+    assert got == want
+    # cap respected; below-cap keys kept whole
+    by_host = {}
+    for r in got:
+        by_host.setdefault(r.host, []).append(r.rk)
+    assert all(len(v) <= 3 and sorted(v) == list(range(1, len(v) + 1))
+               for v in by_host.values())
+    assert len(by_host["solo.example"]) == 1
+
+
+def test_capped_by_key_deterministic_and_salt_invariant(spark):
+    df = _skewed(spark)
+    a = sorted(capped_by_key(df, "host", "rid", cap=2,
+                             salt_buckets=4).select("rid", "rk").collect())
+    b = sorted(capped_by_key(df, "host", "rid", cap=2,
+                             salt_buckets=32).select("rid", "rk").collect())
+    assert a == b  # the kept subset cannot depend on the salt fan-out
+
+
+def test_capped_by_key_expression_key(spark):
+    # key may be an expression (the driver query extracts the url host)
+    df = spark.createDataFrame(
+        [(i, f"http://h{i % 2}.example/p{i}") for i in range(10)],
+        "rid bigint, url string")
+    out = capped_by_key(df, F.regexp_extract(F.col("url"),
+                                             "https?://([^/]+)", 1),
+                        "rid", cap=3, key_name="host")
+    got = out.groupBy("host").count().collect()
+    assert {r["host"] for r in got} == {"h0.example", "h1.example"}
+    assert all(r["count"] == 3 for r in got)
+
+
+def test_cross_doc_gram_frac_hand_case(spark):
+    df = spark.createDataFrame(
+        [(1, "x y z w"),   # grams: "x y z", "y z w"
+         (2, "x y z"),     # gram:  "x y z"  (shared with doc 1)
+         (3, "q r s t"),   # grams: "q r s", "r s t" (unique)
+         (4, "hi"),        # short doc -> whole-text gram
+         (5, "hi"),        # duplicate short doc
+         (6, None)],       # NULL text dropped
+        "doc_id bigint, text string")
+    got = {r["id"]: (r["n_grams"], r["n_dup_grams"], r["dup_frac"])
+           for r in cross_doc_gram_frac(df, "doc_id", n=3).collect()}
+    assert got == {1: (2, 1, 0.5),
+                   2: (1, 1, 1.0),
+                   3: (2, 0, 0.0),
+                   4: (1, 1, 1.0),
+                   5: (1, 1, 1.0)}
+
+
+def test_cross_doc_gram_frac_repeated_gram_counted_once(spark):
+    # the same gram repeated WITHIN a doc is one distinct gram, and a doc
+    # sharing a gram only with itself is not a cross-doc duplicate
+    df = spark.createDataFrame([(1, "a b a b a b"), (2, "c d e")],
+                               "doc_id bigint, text string")
+    got = {r["id"]: (r["n_grams"], r["n_dup_grams"])
+           for r in cross_doc_gram_frac(df, "doc_id", n=2).collect()}
+    # doc 1 bigrams: "a b" x3, "b a" x2 -> 2 distinct, none cross-doc
+    assert got[1] == (2, 0)
+    assert got[2] == (2, 0)
