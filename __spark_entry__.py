@@ -600,6 +600,31 @@ def q_host_cap(spark, sf_dir):
                          key_name="host").select("rid", "host", "rk")
 
 
+def q_c4_quality(spark, sf_dir):
+    """C4 cleaning heuristics (Raffel et al. 2020 §2.2) at line granularity:
+    keep lines ending in terminal punctuation with >= 5 words and no
+    'javascript'; drop docs with code braces / 'lorem ipsum' / < 3 kept
+    lines. Input is the documents corpus deterministically structured into
+    lines (quality.lines_noise — identical SQL rendering in the oracle)."""
+    from sparkcheck.operators import quality
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    structured = docs.select(
+        "doc_id", quality.lines_noise("text", "doc_id").alias("text"))
+    return quality.c4_quality(structured)
+
+
+def q_line_dedup(spark, sf_dir):
+    """CCNet/RefinedWeb-style cross-document line dedup: each distinct line
+    survives once, in its first (doc_id, pos) occurrence — boilerplate
+    (repeated nav/banner lines) vanishes from every later document. Same
+    deterministically line-structured corpus as c4_quality."""
+    from sparkcheck.operators import quality
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    structured = docs.select(
+        "doc_id", quality.lines_noise("text", "doc_id").alias("text"))
+    return dedup.line_dedup(structured, "doc_id")
+
+
 # --- rows-only (engine-specific by nature; pytest-verified) ------------------
 
 
@@ -674,6 +699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fuzzy_drop_list_star": q_dedup_fuzzy_drop_list_star,
         "dup_gram_frac": q_dup_gram_frac,
         "host_cap": q_host_cap,
+        "c4_quality": q_c4_quality,
+        "line_dedup": q_line_dedup,
         # rows-only check (keyed by spark_partition_id — engine-specific by
         # nature, no SQL-expressible oracle; pytest-verified)
         "partition_stats": q_partition_stats,
@@ -747,4 +774,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_fuzzy_drop_list_star": oracle.dedup_fuzzy_drop_list(),
         "dup_gram_frac": oracle.dup_gram_frac(),
         "host_cap": oracle.host_cap(),
+        "c4_quality": oracle.c4_quality(),
+        "line_dedup": oracle.line_dedup(),
     }

@@ -253,6 +253,16 @@ def main() -> None:
         F.col("doc_id") % quality.DECON_MOD == 0)
     timed("training_shard_100k", lambda: _force(
         pipeline.training_shard(shard_docs, shard_bench)), reps=inner)
+    # line-granularity web-text ops: structure lines cheaply (codegen
+    # regexp_replace at sentence boundaries; quality.lines_noise's
+    # interpreted transform is for ORACLE parity — input synthesis would
+    # dominate a timing here)
+    lined = mh_pages.select(
+        "rid", F.regexp_replace("text", r"\. ", ".\n").alias("text"))
+    timed("c4_quality_100k", lambda: _force(
+        quality.c4_quality(lined, "rid")), reps=inner)
+    timed("line_dedup_100k", lambda: _force(
+        dedup.line_dedup(lined, "rid")), reps=inner)
     upd = (ev2m.filter(F.col("event_id") % 20 == 0)
                .select("user_id", "ts", F.col("value").alias("asof_value")))
     timed("asof_join_2m", lambda: _force(

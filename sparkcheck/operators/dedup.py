@@ -578,3 +578,54 @@ def cross_doc_gram_frac(df: DataFrame, id_col: str, text_col: str = "text",
               .select("id", "n_grams", "n_dup_grams",
                       (F.floor(F.col("n_dup_grams") / F.col("n_grams")
                                * 1e4 + F.lit(0.5)) / 1e4).alias("dup_frac")))
+
+
+def line_dedup(df: DataFrame, id_col: str, text_col: str = "text") \
+        -> DataFrame:
+    """Cross-document line-level deduplication — the CCNet/RefinedWeb
+    boilerplate-removal pass: across the whole corpus, each DISTINCT line
+    text survives exactly once, in its first occurrence by (doc_id, line
+    position); every other occurrence (nav bars, cookie banners, repeated
+    headers) is dropped. Deterministic by construction — no shard-order
+    dependence like the original CCNet hash-shard formulation.
+
+    Output: (doc_id, n_lines, n_kept, clean_text) for every input doc
+    (docs whose every line was dropped keep a row with clean_text='').
+
+    Plan: posexplode lines → ONE map-side-combining min(struct(doc_id,
+    pos)) aggregate per line text (the group-agg+join-back formulation of
+    the first-occurrence window — no giant per-line window partitions) →
+    join occurrences back on the line text (AQE's call) → per-doc
+    reassembly via sort_array over (pos, line) structs. Three
+    key-partitioned shuffles, nothing all-pairs. At 100 TB swap the line
+    string for xxhash64(line) as the agg/join key to cut shuffle width
+    (identical up to 64-bit collisions); the oracled formulation keeps the
+    string so both engines group on byte-identical keys. The final
+    field-extraction transform is an interpreted lambda, but it runs once
+    per KEPT line inside an already-shuffled row — not a hot scan loop."""
+    base = (df.filter(F.col(text_col).isNotNull())
+              .select(F.col(id_col).alias("id"),
+                      F.split(F.col(text_col), "\n").alias("lines")))
+    occ = base.select(
+        "id", F.posexplode("lines").alias("pos", "line"))
+    first = occ.groupBy("line").agg(
+        F.min(F.struct(F.col("id"), F.col("pos"))).alias("f"))
+    kept = (occ.join(first, "line")
+               .filter((F.col("id") == F.col("f.id"))
+                       & (F.col("pos") == F.col("f.pos")))
+               .groupBy("id")
+               .agg(F.count(F.lit(1)).cast("int").alias("n_kept"),
+                    F.array_join(
+                        F.transform(
+                            F.sort_array(F.collect_list(
+                                F.struct("pos", "line"))),
+                            lambda s: s["line"]),
+                        "\n").alias("clean_text")))
+    return (base.select(F.col("id").alias("doc_id"),
+                        F.size("lines").cast("int").alias("n_lines"))
+                .join(kept.withColumnRenamed("id", "doc_id"),
+                      "doc_id", "left")
+                .select("doc_id", "n_lines",
+                        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                        F.coalesce("clean_text", F.lit(""))
+                         .alias("clean_text")))

@@ -46,6 +46,12 @@ PII_PHONE_RE = r"\b[0-9]{3}-[0-9]{4}\b"
 DECON_N = 3
 DECON_MOD = 41
 
+# C4 cleaning constants (published heuristics: Raffel et al. 2020 §2.2),
+# imported by oracle.c4_quality so the two sides cannot drift
+C4_TERMINAL_RE = '[.!?"]$'
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+
 
 # --- Gopher-style quality filter --------------------------------------------
 
@@ -178,6 +184,101 @@ def pii_noise_sql(text_expr: str, id_expr: str) -> str:
         f" CAST({id_expr} % 256 AS VARCHAR) || '.1' ELSE '' END"
         f" || CASE WHEN {id_expr} % 11 = 0 THEN ' call 555-0' ||"
         f" lpad(CAST({id_expr} % 1000 AS VARCHAR), 3, '0') ELSE '' END)")
+
+
+# --- deterministic line structuring (test-input synthesis) -------------------
+
+
+def lines_noise(text_col, id_col, chunk: int = 8) -> Column:
+    """Deterministic multi-line structuring of the single-line synthetic
+    corpus, for exercising the line-granularity operators (c4_quality,
+    dedup.line_dedup) — the real operators consume newline-separated web
+    text; the testdata documents are one space-joined line. Chunks of
+    `chunk` tokens become lines; a terminal '.' lands on lines where
+    (i + id) % 3 == 0, the token ' javascript' (C4's line killer) on
+    (i + 7*id) % 13 == 0, and doc-level 'lorem ipsum' / brace-code lines by
+    id modulo 97 / 89. Rendered identically in SQL by lines_noise_sql (the
+    pii_noise pattern). Interpreted-lambda cost is irrelevant here: this is
+    input synthesis, not an operator."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    d = F.col(id_col) if isinstance(id_col, str) else id_col
+    toks = F.split(t, " ")
+    nchunks = F.ceil(F.size(toks) / F.lit(float(chunk))).cast("int")
+
+    def line(i):
+        base = F.concat_ws(" ", F.slice(toks, i * chunk + 1, chunk))
+        js = (F.when((i + d * 7) % 13 == 0, F.lit(" javascript"))
+               .otherwise(F.lit("")))
+        dot = F.when((i + d) % 3 == 0, F.lit(".")).otherwise(F.lit(""))
+        return F.concat(base, js, dot)
+
+    lines = F.transform(F.sequence(F.lit(0), nchunks - 1), line)
+    return F.concat(
+        F.array_join(lines, "\n"),
+        F.when(d % 97 == 0, F.lit("\nlorem ipsum dolor sit amet."))
+         .otherwise(F.lit("")),
+        F.when(d % 89 == 0, F.lit("\nfunction() { return 0; }"))
+         .otherwise(F.lit("")))
+
+
+def lines_noise_sql(text_expr: str, id_expr: str, chunk: int = 8) -> str:
+    """The identical line structuring in DuckDB SQL (range() is
+    end-exclusive ≡ sequence(0, n-1); list slices clip at the end exactly
+    like F.slice)."""
+    toks = f"string_split({text_expr}, ' ')"
+    line = (f"array_to_string({toks}[i*{chunk}+1:i*{chunk}+{chunk}], ' ')"
+            f" || CASE WHEN (i + {id_expr} * 7) % 13 = 0"
+            f" THEN ' javascript' ELSE '' END"
+            f" || CASE WHEN (i + {id_expr}) % 3 = 0 THEN '.' ELSE '' END")
+    return (
+        f"(array_to_string(list_transform("
+        f"range(0, CAST(ceil(len({toks}) / {float(chunk)}) AS INT)), "
+        f"i -> {line}), chr(10))"
+        f" || CASE WHEN {id_expr} % 97 = 0"
+        f" THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END"
+        f" || CASE WHEN {id_expr} % 89 = 0"
+        f" THEN chr(10) || 'function() {{ return 0; }}' ELSE '' END)")
+
+
+# --- C4 cleaning heuristics ---------------------------------------------------
+
+
+def c4_quality(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text",
+               min_line_words: int = C4_MIN_LINE_WORDS,
+               min_sentences: int = C4_MIN_SENTENCES) -> DataFrame:
+    """(doc_id, n_lines, n_kept, has_brace, has_lorem, c4_pass, clean_text)
+    — the published C4 cleaning heuristics (Raffel et al. 2020 §2.2) over
+    newline-separated text: keep only lines that end in terminal
+    punctuation, have ≥ min_line_words words, and don't contain the word
+    'javascript'; drop whole documents containing '{' (code) or the
+    'lorem ipsum' placeholder, or with fewer than min_sentences surviving
+    lines. clean_text is the kept lines rejoined in original order.
+
+    Scale shape: a shuffle-free single-pass map — the per-line predicates
+    run as ONE array filter per document. The explode + scalar-agg
+    formulation (the minhash lesson) would need a (doc_id) shuffle to
+    reassemble clean_text; here the interpreted-lambda tax is a handful of
+    scalar ops × line count, far below one exchange over the corpus."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    kept = F.filter(
+        lines,
+        lambda l: (l.rlike(C4_TERMINAL_RE)
+                   & (F.size(F.split(l, " ")) >= min_line_words)
+                   & ~l.contains("javascript")))
+    has_brace = t.contains("{")
+    has_lorem = t.contains("lorem ipsum")
+    c4_pass = ((F.size(kept) >= min_sentences)
+               & ~has_brace & ~has_lorem)
+    return (df.filter(t.isNotNull())
+              .select(F.col(id_col).alias("doc_id"),
+                      F.size(lines).cast("int").alias("n_lines"),
+                      F.size(kept).cast("int").alias("n_kept"),
+                      has_brace.alias("has_brace"),
+                      has_lorem.alias("has_lorem"),
+                      c4_pass.alias("c4_pass"),
+                      F.array_join(kept, "\n").alias("clean_text")))
 
 
 # --- benchmark decontamination ----------------------------------------------

@@ -1168,3 +1168,67 @@ r AS (SELECT rid, host,
                                               rid) AS INT) AS rk
       FROM h)
 SELECT rid, host, rk FROM r WHERE rk <= {cap}"""
+
+
+def c4_quality() -> str:
+    """c4_quality oracle (operators/quality.py): the published C4 line/doc
+    heuristics over the SAME deterministically line-structured corpus
+    (quality.lines_noise / lines_noise_sql render the identical multi-line
+    text in both engines). One list_filter per document mirrors the
+    engine's single array filter; kept lines rejoin in original order so
+    clean_text is byte-identical."""
+    from .operators.quality import (C4_MIN_LINE_WORDS, C4_MIN_SENTENCES,
+                                    C4_TERMINAL_RE, lines_noise_sql)
+    structured = lines_noise_sql("text", "doc_id")
+    return f"""
+WITH t AS (
+  SELECT doc_id, {structured} AS mtext
+  FROM documents WHERE text IS NOT NULL),
+l AS (
+  SELECT doc_id, mtext, string_split(mtext, chr(10)) AS lines,
+    list_filter(string_split(mtext, chr(10)),
+      x -> regexp_matches(x, '{C4_TERMINAL_RE}')
+           AND len(string_split(x, ' ')) >= {C4_MIN_LINE_WORDS}
+           AND NOT contains(x, 'javascript')) AS kept
+  FROM t)
+SELECT doc_id,
+  CAST(len(lines) AS INT) AS n_lines,
+  CAST(len(kept) AS INT) AS n_kept,
+  contains(mtext, '{{') AS has_brace,
+  contains(mtext, 'lorem ipsum') AS has_lorem,
+  (len(kept) >= {C4_MIN_SENTENCES}
+   AND NOT contains(mtext, '{{')
+   AND NOT contains(mtext, 'lorem ipsum')) AS c4_pass,
+  coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+FROM l"""
+
+
+def line_dedup() -> str:
+    """line_dedup oracle (operators/dedup.py): ONE first-occurrence window
+    states the semantics — the engine's min(struct(doc_id, pos)) group-agg
+    + join-back picks the identical survivor because (doc_id, pos) is
+    unique per occurrence, so lexicographic struct-min == row_number()=1
+    under ORDER BY doc_id, pos. Same lines_noise-structured corpus as
+    c4_quality."""
+    from .operators.quality import lines_noise_sql
+    structured = lines_noise_sql("text", "doc_id")
+    return f"""
+WITH t AS (
+  SELECT doc_id, {structured} AS mtext
+  FROM documents WHERE text IS NOT NULL),
+l AS (SELECT doc_id, string_split(mtext, chr(10)) AS lines FROM t),
+p AS (SELECT doc_id, unnest(range(1, len(lines) + 1)) AS pos, lines FROM l),
+o AS (SELECT doc_id, pos, lines[pos] AS line FROM p),
+r AS (SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY line
+                                ORDER BY doc_id, pos) AS rn
+      FROM o),
+k AS (SELECT doc_id, pos, line FROM r WHERE rn = 1),
+agg AS (SELECT doc_id, count(*) AS n_kept,
+               array_to_string(list(line ORDER BY pos), chr(10))
+                 AS clean_text
+        FROM k GROUP BY doc_id)
+SELECT l.doc_id AS doc_id, CAST(len(l.lines) AS INT) AS n_lines,
+       CAST(coalesce(agg.n_kept, 0) AS INT) AS n_kept,
+       coalesce(agg.clean_text, '') AS clean_text
+FROM l LEFT JOIN agg USING (doc_id)"""

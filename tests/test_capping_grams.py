@@ -97,3 +97,31 @@ def test_cross_doc_gram_frac_repeated_gram_counted_once(spark):
     # doc 1 bigrams: "a b" x3, "b a" x2 -> 2 distinct, none cross-doc
     assert got[1] == (2, 0)
     assert got[2] == (2, 0)
+
+
+def test_line_dedup_first_occurrence_survives(spark):
+    from sparkcheck.operators.dedup import line_dedup
+    # 'banner' boilerplate appears in all three docs → survives only in
+    # doc 1 (its first occurrence); unique lines always survive
+    rows = [(1, "banner\nalpha"),
+            (2, "banner\nbeta"),
+            (3, "gamma\nbanner")]
+    out = {r["doc_id"]: r.asDict() for r in
+           line_dedup(spark.createDataFrame(
+               rows, "doc_id bigint, text string"), "doc_id").collect()}
+    assert out[1]["clean_text"] == "banner\nalpha"
+    assert out[2]["clean_text"] == "beta" and out[2]["n_kept"] == 1
+    assert out[3]["clean_text"] == "gamma" and out[3]["n_lines"] == 2
+
+
+def test_line_dedup_within_doc_and_empty_result(spark):
+    from sparkcheck.operators.dedup import line_dedup
+    # repeated line inside ONE doc keeps only the first position; a doc
+    # made entirely of already-seen lines keeps a row with clean_text=''
+    rows = [(1, "x\ny\nx"), (2, "x\ny")]
+    out = {r["doc_id"]: r.asDict() for r in
+           line_dedup(spark.createDataFrame(
+               rows, "doc_id bigint, text string"), "doc_id").collect()}
+    assert out[1]["clean_text"] == "x\ny" and out[1]["n_kept"] == 2
+    assert out[2]["n_kept"] == 0 and out[2]["clean_text"] == ""
+    assert out[2]["n_lines"] == 2

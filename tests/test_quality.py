@@ -199,3 +199,38 @@ def test_tfidf_construction_is_lazy(spark):
     # and the lazy plan still computes the right N: idf(a) = ln(3/3) = 0
     out = {(r["doc_id"], r["term"]): r["score4"] for r in res.collect()}
     assert all(s == 0.0 for (d, t), s in out.items() if t == "a")
+
+
+def test_c4_quality_known_answer(spark):
+    # line rules: terminal punctuation + >=5 words + no 'javascript';
+    # doc rules: brace / lorem ipsum / >=3 kept lines
+    good = "\n".join(["one two three four five six."] * 3)
+    few_words = "one two three."                      # < 5 words
+    no_terminal = "one two three four five six"       # no terminal punct
+    js = "one two three javascript five six."         # killed token
+    braces = good + "\nfunction() { return 0; }"      # doc-level brace
+    lorem = good + "\nlorem ipsum dolor sit amet."    # doc-level lorem
+    two_kept = "\n".join(["one two three four five six."] * 2)
+    out = {r["doc_id"]: r.asDict() for r in quality.c4_quality(
+        _docs(spark, [(1, good), (2, few_words), (3, no_terminal), (4, js),
+                      (5, braces), (6, lorem), (7, two_kept)])).collect()}
+    assert out[1]["c4_pass"] and out[1]["n_kept"] == 3
+    assert out[1]["clean_text"] == good
+    assert out[2]["n_kept"] == 0 and not out[2]["c4_pass"]
+    assert out[3]["n_kept"] == 0
+    assert out[4]["n_kept"] == 0
+    assert out[5]["has_brace"] and not out[5]["c4_pass"]
+    assert out[5]["n_kept"] == 3  # brace line itself also fails line rules
+    assert out[6]["has_lorem"] and not out[6]["c4_pass"]
+    # the lorem line itself satisfies the LINE rules (5 words, terminal '.')
+    assert out[6]["n_kept"] == 4
+    assert out[7]["n_kept"] == 2 and not out[7]["c4_pass"]  # < min_sentences
+
+
+def test_c4_quality_keeps_original_line_order(spark):
+    text = "alpha beta gamma delta epsilon one.\nmid line no punct\n" \
+           "zeta eta theta iota kappa two."
+    r = quality.c4_quality(_docs(spark, [(1, text)])).collect()[0]
+    assert r["clean_text"] == ("alpha beta gamma delta epsilon one.\n"
+                               "zeta eta theta iota kappa two.")
+    assert r["n_lines"] == 3 and r["n_kept"] == 2
