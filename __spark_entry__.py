@@ -625,6 +625,15 @@ def q_line_dedup(spark, sf_dir):
     return dedup.line_dedup(structured, "doc_id")
 
 
+def q_unigram_logppl(spark, sf_dir):
+    """CCNet-style LM quality proxy: mean per-token -ln p(token) under the
+    corpus's own unigram distribution (rare-token documents score high).
+    Per-token log-probs are quantized to integer micro-nats before the
+    per-doc sum so the engines' aggregation orders cannot diverge."""
+    from sparkcheck.operators.textstats import unigram_logppl
+    return unigram_logppl(_docs(spark, sf_dir))
+
+
 # --- rows-only (engine-specific by nature; pytest-verified) ------------------
 
 
@@ -701,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cap": q_host_cap,
         "c4_quality": q_c4_quality,
         "line_dedup": q_line_dedup,
+        "unigram_logppl": q_unigram_logppl,
         # rows-only check (keyed by spark_partition_id — engine-specific by
         # nature, no SQL-expressible oracle; pytest-verified)
         "partition_stats": q_partition_stats,
@@ -776,4 +786,5 @@ def oracle_sql() -> dict[str, str]:
         "host_cap": oracle.host_cap(),
         "c4_quality": oracle.c4_quality(),
         "line_dedup": oracle.line_dedup(),
+        "unigram_logppl": oracle.unigram_logppl(),
     }

@@ -263,6 +263,9 @@ def main() -> None:
         quality.c4_quality(lined, "rid")), reps=inner)
     timed("line_dedup_100k", lambda: _force(
         dedup.line_dedup(lined, "rid")), reps=inner)
+    from sparkcheck.operators.textstats import unigram_logppl
+    timed("unigram_logppl_100k", lambda: _force(
+        unigram_logppl(shard_docs)), reps=inner)
     upd = (ev2m.filter(F.col("event_id") % 20 == 0)
                .select("user_id", "ts", F.col("value").alias("asof_value")))
     timed("asof_join_2m", lambda: _force(

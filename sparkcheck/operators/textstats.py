@@ -187,3 +187,47 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text") \
             .filter(F.col("rnk") <= k)
             .select("doc_id", "term", "rnk",
                     round4(F.col("score")).alias("score4")))
+
+
+PPL_SCALE = 1_000_000  # per-token log-probs quantized to micro-nats
+
+
+def unigram_logppl(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, logppl) — CCNet-style language-model quality
+    proxy: mean per-token negative log-probability under the corpus's own
+    unigram distribution (documents full of rare tokens score high = bad;
+    repetitive common-token documents score low). The full CCNet filter
+    uses a KenLM 5-gram; the unigram LM is the SQL-expressible member of
+    the same family and ranks documents the same way for hygiene cuts.
+
+    Cross-engine determinism: a per-doc SUM of doubles is order-dependent
+    and Spark/DuckDB aggregate in different orders, so each token's
+    -ln(c/T) is quantized to integer micro-nats (floor(x*1e6 + 0.5) as
+    bigint) BEFORE the sum — integer addition commutes exactly (the
+    event_rate_anomaly integer-moment lesson); the mean then divides two
+    exact integers in the identical expression shape on both sides.
+
+    Scale shape: explode → map-side-combining token counts (vocabulary is
+    Zipf-bounded, ≪ corpus); the corpus total T stays in-plan as a 1-row
+    broadcast aggregate (the norm_outliers/tfidf pattern — no eager
+    action); tokens join the vocab table on the token string (AQE's call:
+    vocab often broadcastable); one per-doc aggregate. Nothing all-pairs,
+    no driver-side loops."""
+    base = (df.filter(F.col(text_col).isNotNull())
+              .select("doc_id",
+                      F.explode(F.split(F.col(text_col), " "))
+                      .alias("tok")))
+    vocab = base.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").cast("double").alias("_t"))
+    q = F.floor(F.log(F.col("_t") / F.col("c")) * PPL_SCALE + F.lit(0.5)) \
+         .cast("bigint")
+    return (base.join(vocab, "tok")
+                .crossJoin(F.broadcast(tot))
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_tokens"),
+                     F.sum(q).alias("_qsum"))
+                .select("doc_id", "n_tokens",
+                        (F.floor(F.col("_qsum")
+                                 / F.col("n_tokens").cast("double")
+                                 / PPL_SCALE * 1e4 + F.lit(0.5)) / 1e4)
+                        .alias("logppl")))

@@ -1232,3 +1232,27 @@ SELECT l.doc_id AS doc_id, CAST(len(l.lines) AS INT) AS n_lines,
        CAST(coalesce(agg.n_kept, 0) AS INT) AS n_kept,
        coalesce(agg.clean_text, '') AS clean_text
 FROM l LEFT JOIN agg USING (doc_id)"""
+
+
+def unigram_logppl() -> str:
+    """unigram_logppl oracle (operators/textstats.py): identical
+    formulation — per-token -ln(c/T) quantized to integer micro-nats
+    before the per-doc sum (integer addition commutes, so the two engines'
+    different aggregation orders cannot diverge), T as a scalar subquery,
+    the same ln(double/double) expression shape as the engine."""
+    from .operators.textstats import PPL_SCALE
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL),
+vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM vocab),
+q AS (
+  SELECT toks.doc_id,
+         CAST(FLOOR(ln(tot.t / vocab.c) * {PPL_SCALE} + 0.5) AS BIGINT)
+           AS qn
+  FROM toks JOIN vocab USING (tok) CROSS JOIN tot)
+SELECT doc_id, count(*) AS n_tokens,
+       FLOOR(sum(qn) / CAST(count(*) AS DOUBLE) / {PPL_SCALE} * 1e4 + 0.5)
+         / 1e4 AS logppl
+FROM q GROUP BY doc_id"""

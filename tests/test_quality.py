@@ -234,3 +234,35 @@ def test_c4_quality_keeps_original_line_order(spark):
     assert r["clean_text"] == ("alpha beta gamma delta epsilon one.\n"
                                "zeta eta theta iota kappa two.")
     assert r["n_lines"] == 3 and r["n_kept"] == 2
+
+
+def test_unigram_logppl_known_answer(spark):
+    """Corpus: 'a' ×6, 'rare' ×1, 'b' ×1 (T=8). Doc 1 = 'a a a' →
+    logppl = ln(8/6) ≈ 0.2877; doc 2 = 'rare b' → every token has c=1 →
+    logppl = ln(8) ≈ 2.0794. Rare-token docs must score strictly higher."""
+    import math
+    from sparkcheck.operators import textstats
+    docs = _docs(spark, [(1, "a a a"), (2, "rare b"), (3, "a a a")])
+    out = {r["doc_id"]: r.asDict()
+           for r in textstats.unigram_logppl(docs).collect()}
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["logppl"] == math.floor(math.log(8 / 6) * 1e4 + 0.5) / 1e4
+    assert out[2]["logppl"] == math.floor(math.log(8.0) * 1e4 + 0.5) / 1e4
+    assert out[2]["logppl"] > out[1]["logppl"]
+    assert out[3]["logppl"] == out[1]["logppl"]
+
+
+def test_unigram_logppl_construction_is_lazy(spark):
+    """The corpus total T must stay in-plan (1-row broadcast aggregate) —
+    no job may run at construction time (the tfidf eager-count lesson)."""
+    from sparkcheck.operators import textstats
+    sc = spark.sparkContext
+    docs = _docs(spark, [(1, "x y"), (2, "y z")])
+    sc.setJobGroup("ppl_ctor", "construction must be lazy")
+    try:
+        res = textstats.unigram_logppl(docs)
+        ctor_jobs = sc.statusTracker().getJobIdsForGroup("ppl_ctor")
+    finally:
+        sc.setJobGroup("ppl_other", "")
+    assert ctor_jobs == []
+    assert res.count() == 2
