@@ -634,6 +634,13 @@ def q_unigram_logppl(spark, sf_dir):
     return unigram_logppl(_docs(spark, sf_dir))
 
 
+def q_dup_spans(spark, sf_dir):
+    """Exact-substring duplicated spans (Lee et al. 2022, word-granular):
+    maximal per-document token spans covered by 5-grams that occur more
+    than once corpus-wide — the mask/cut signal for span-level dedup."""
+    return dedup.dup_spans(_docs(spark, sf_dir), "doc_id")
+
+
 # --- rows-only (engine-specific by nature; pytest-verified) ------------------
 
 
@@ -711,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_quality": q_c4_quality,
         "line_dedup": q_line_dedup,
         "unigram_logppl": q_unigram_logppl,
+        "dup_spans": q_dup_spans,
         # rows-only check (keyed by spark_partition_id — engine-specific by
         # nature, no SQL-expressible oracle; pytest-verified)
         "partition_stats": q_partition_stats,
@@ -787,4 +795,5 @@ def oracle_sql() -> dict[str, str]:
         "c4_quality": oracle.c4_quality(),
         "line_dedup": oracle.line_dedup(),
         "unigram_logppl": oracle.unigram_logppl(),
+        "dup_spans": oracle.dup_spans(),
     }

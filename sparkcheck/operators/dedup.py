@@ -629,3 +629,67 @@ def line_dedup(df: DataFrame, id_col: str, text_col: str = "text") \
                         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
                         F.coalesce("clean_text", F.lit(""))
                          .alias("clean_text")))
+
+
+DUP_SPAN_N = 5  # duplicated-span seed gram width (Lee et al. use 50 BPE
+                # tokens at production scale; 5 words keeps the driver-gate
+                # corpus exercising the merge logic)
+
+
+def dup_spans(df: DataFrame, id_col: str, text_col: str = "text",
+              n: int = DUP_SPAN_N) -> DataFrame:
+    """Cross-document duplicated SPANS — the exact-substring dedup signal
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"), word-granular: every length-n token gram that occurs in more
+    than one document (or more than once in one document) seeds a
+    duplicated region; overlapping / touching seed grams within a document
+    merge into maximal spans. Downstream, a pipeline masks or cuts these
+    spans instead of dropping whole documents.
+
+    Output: one row per maximal span (doc_id, span_start, span_end,
+    span_len), token positions 1-based inclusive.
+
+    Plan: explode gram start positions (codegen sequence + slice +
+    array_join, the cross_doc_gram_frac formulation) → one map-side-
+    combining count per gram (duplicated iff total occurrences > 1 —
+    corpus-wide, so a gram repeated within one doc also counts) → join
+    occurrences back on the gram string (Zipf-bounded vocab, AQE's call)
+    → per-doc interval merge via two windows ordered by span start
+    (running max of end over preceding rows → new-span flag → running sum
+    as span id). Each window partition is ONE document's duplicated-gram
+    starts — bounded by doc length, never the corpus. At 100 TB swap the
+    gram string for xxhash64(gram) as in cross_doc_gram_frac; the oracled
+    formulation keeps the string for byte-identical group keys."""
+    from pyspark.sql import Window
+    words = F.split(F.col(text_col), " ")
+    base = (df.filter(F.col(text_col).isNotNull())
+              .select(F.col(id_col).alias("doc_id"), words.alias("w"))
+              .filter(F.size("w") >= n))
+    grams = (base.select("doc_id",
+                         F.explode(F.sequence(
+                             F.lit(1), F.size("w") - (n - 1))).alias("i"),
+                         "w")
+                 .select("doc_id", "i",
+                         F.array_join(F.slice("w", F.col("i"), n), " ")
+                          .alias("gram")))
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("occ"))
+    seeds = (grams.join(counts.filter(F.col("occ") > 1), "gram")
+                  .select("doc_id", F.col("i").alias("s"),
+                          (F.col("i") + (n - 1)).alias("e")))
+    w_prev = (Window.partitionBy("doc_id").orderBy("s")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy("doc_id").orderBy("s")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    flagged = (seeds
+               .withColumn("prev_max", F.max("e").over(w_prev))
+               .withColumn("new_span",
+                           (F.col("prev_max").isNull()
+                            | (F.col("s") > F.col("prev_max") + 1))
+                           .cast("int"))
+               .withColumn("span_id", F.sum("new_span").over(w_run)))
+    return (flagged.groupBy("doc_id", "span_id")
+                   .agg(F.min("s").cast("int").alias("span_start"),
+                        F.max("e").cast("int").alias("span_end"))
+                   .select("doc_id", "span_start", "span_end",
+                           (F.col("span_end") - F.col("span_start") + 1)
+                           .cast("int").alias("span_len")))

@@ -1256,3 +1256,41 @@ SELECT doc_id, count(*) AS n_tokens,
        FLOOR(sum(qn) / CAST(count(*) AS DOUBLE) / {PPL_SCALE} * 1e4 + 0.5)
          / 1e4 AS logppl
 FROM q GROUP BY doc_id"""
+
+
+def dup_spans() -> str:
+    """dup_spans oracle (operators/dedup.py): identical formulation —
+    length-n gram seeds with corpus-wide occurrence > 1, then the
+    per-document interval merge as the SAME two-window running-max /
+    running-sum construction (seed starts are unique per doc, so ORDER BY
+    s is total and both engines see identical window frames)."""
+    from .operators.dedup import DUP_SPAN_N as n
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents
+  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= {n}),
+g AS (SELECT doc_id, unnest(range(1, len(w) - {n - 2})) AS i, w FROM t),
+g2 AS (SELECT doc_id, i, array_to_string(w[i:i+{n - 1}], ' ') AS gram
+       FROM g),
+c AS (SELECT gram, count(*) AS occ FROM g2 GROUP BY gram),
+s AS (SELECT doc_id, i AS s, i + {n - 1} AS e
+      FROM g2 JOIN c USING (gram) WHERE occ > 1),
+f AS (SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max
+      FROM s),
+f2 AS (SELECT doc_id, s, e,
+              CASE WHEN prev_max IS NULL OR s > prev_max + 1
+                   THEN 1 ELSE 0 END AS ns
+       FROM f),
+f3 AS (SELECT doc_id, s, e,
+              sum(ns) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS span_id
+       FROM f2)
+SELECT doc_id, CAST(min(s) AS INT) AS span_start,
+       CAST(max(e) AS INT) AS span_end,
+       CAST(max(e) - min(s) + 1 AS INT) AS span_len
+FROM f3 GROUP BY doc_id, span_id"""

@@ -125,3 +125,31 @@ def test_line_dedup_within_doc_and_empty_result(spark):
     assert out[1]["clean_text"] == "x\ny" and out[1]["n_kept"] == 2
     assert out[2]["n_kept"] == 0 and out[2]["clean_text"] == ""
     assert out[2]["n_lines"] == 2
+
+
+def test_dup_spans_touching_merge_and_gap(spark):
+    from sparkcheck.operators.dedup import dup_spans
+    # A and B share "a1..a5" and "b1..b5"; B has an extra token between
+    # them. In A the two seeds touch (starts 1 and 6) -> ONE span [1,10];
+    # in B they are separated by one non-duplicated token -> TWO spans.
+    a = "a1 a2 a3 a4 a5 b1 b2 b3 b4 b5"
+    b = "a1 a2 a3 a4 a5 x b1 b2 b3 b4 b5"
+    out = dup_spans(spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id bigint, text string"), "doc_id")
+    got = sorted((r["doc_id"], r["span_start"], r["span_end"],
+                  r["span_len"]) for r in out.collect())
+    assert got == [(1, 1, 10, 10), (2, 1, 5, 5), (2, 7, 11, 5)]
+
+
+def test_dup_spans_within_doc_repeat_counts(spark):
+    from sparkcheck.operators.dedup import dup_spans
+    # the same 5-gram twice in ONE document is a duplication too
+    # (corpus-wide occurrence count, as in Lee et al.); gap of one token
+    # (start 7 > prev_end 5 + 1) keeps the spans separate
+    t = "z1 z2 z3 z4 z5 w z1 z2 z3 z4 z5"
+    out = dup_spans(spark.createDataFrame(
+        [(1, t), (2, "totally unrelated words go here")],
+        "doc_id bigint, text string"), "doc_id")
+    got = sorted((r["span_start"], r["span_end"]) for r in out.collect())
+    assert got == [(1, 5), (7, 11)]
+    assert all(r["doc_id"] == 1 for r in out.collect())
