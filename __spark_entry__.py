@@ -641,6 +641,13 @@ def q_dup_spans(spark, sf_dir):
     return dedup.dup_spans(_docs(spark, sf_dir), "doc_id")
 
 
+def q_cut_dup_spans(spark, sf_dir):
+    """The operational span-level dedup write: duplicated spans removed
+    from every document's text (Lee et al. cut, not drop), with exact
+    removed-token counts."""
+    return dedup.cut_dup_spans(_docs(spark, sf_dir), "doc_id")
+
+
 # --- rows-only (engine-specific by nature; pytest-verified) ------------------
 
 
@@ -719,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "unigram_logppl": q_unigram_logppl,
         "dup_spans": q_dup_spans,
+        "cut_dup_spans": q_cut_dup_spans,
         # rows-only check (keyed by spark_partition_id — engine-specific by
         # nature, no SQL-expressible oracle; pytest-verified)
         "partition_stats": q_partition_stats,
@@ -796,4 +804,5 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": oracle.line_dedup(),
         "unigram_logppl": oracle.unigram_logppl(),
         "dup_spans": oracle.dup_spans(),
+        "cut_dup_spans": oracle.cut_dup_spans(),
     }

@@ -693,3 +693,42 @@ def dup_spans(df: DataFrame, id_col: str, text_col: str = "text",
                    .select("doc_id", "span_start", "span_end",
                            (F.col("span_end") - F.col("span_start") + 1)
                            .cast("int").alias("span_len")))
+
+
+def cut_dup_spans(df: DataFrame, id_col: str, text_col: str = "text",
+                  n: int = DUP_SPAN_N) -> DataFrame:
+    """The operational half of span-level dedup: REMOVE every duplicated
+    span found by `dup_spans` from the document text (Lee et al. 2022 cut
+    the duplicated substring rather than the document). Output: (doc_id,
+    n_tokens, n_cut, clean_text) for every input doc — n_cut is the
+    number of tokens removed (spans are disjoint after the merge, so the
+    span-length sum is exact), clean_text the surviving tokens rejoined.
+
+    Plan: dup_spans' three shuffles, then ONE per-doc aggregate collecting
+    that doc's (few, merged) spans into an array, one left join back to
+    the corpus on doc_id, and a shuffle-free array filter dropping covered
+    token positions. The position test is an interpreted lambda over
+    tokens × spans-per-doc — spans are merged maximal intervals (handfuls
+    per doc), so the inner list is tiny; the explode+range-join
+    alternative would shuffle every token against a range predicate."""
+    spans = dup_spans(df, id_col, text_col, n)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans"),
+        F.sum("span_len").cast("int").alias("n_cut"))
+    base = (df.filter(F.col(text_col).isNotNull())
+              .select(F.col(id_col).alias("doc_id"),
+                      F.split(F.col(text_col), " ").alias("w")))
+    joined = base.join(per_doc, "doc_id", "left")
+    sp = F.coalesce(F.col("_spans"),
+                    F.array().cast(
+                        "array<struct<span_start:int,span_end:int>>"))
+    kept = F.filter(
+        "w",
+        lambda x, i: ~F.exists(
+            sp, lambda s: (i + 1 >= s["span_start"])
+                          & (i + 1 <= s["span_end"])))
+    return joined.select(
+        "doc_id",
+        F.size("w").cast("int").alias("n_tokens"),
+        F.coalesce("n_cut", F.lit(0)).alias("n_cut"),
+        F.array_join(kept, " ").alias("clean_text"))

@@ -1258,15 +1258,12 @@ SELECT doc_id, count(*) AS n_tokens,
 FROM q GROUP BY doc_id"""
 
 
-def dup_spans() -> str:
-    """dup_spans oracle (operators/dedup.py): identical formulation —
-    length-n gram seeds with corpus-wide occurrence > 1, then the
-    per-document interval merge as the SAME two-window running-max /
-    running-sum construction (seed starts are unique per doc, so ORDER BY
-    s is total and both engines see identical window frames)."""
+def _dup_spans_ctes() -> str:
+    """Shared CTE chain for dup_spans/cut_dup_spans: gram seeds →
+    occurrence counts → per-doc interval merge, ending in a `spansq`
+    CTE with (doc_id, span_start, span_end, span_len)."""
     from .operators.dedup import DUP_SPAN_N as n
-    return f"""
-WITH t AS (
+    return f"""t AS (
   SELECT doc_id, string_split(text, ' ') AS w
   FROM documents
   WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= {n}),
@@ -1289,8 +1286,46 @@ f3 AS (SELECT doc_id, s, e,
               sum(ns) OVER (PARTITION BY doc_id ORDER BY s
                             ROWS BETWEEN UNBOUNDED PRECEDING
                             AND CURRENT ROW) AS span_id
-       FROM f2)
-SELECT doc_id, CAST(min(s) AS INT) AS span_start,
-       CAST(max(e) AS INT) AS span_end,
-       CAST(max(e) - min(s) + 1 AS INT) AS span_len
-FROM f3 GROUP BY doc_id, span_id"""
+       FROM f2),
+spansq AS (
+  SELECT doc_id, CAST(min(s) AS INT) AS span_start,
+         CAST(max(e) AS INT) AS span_end,
+         CAST(max(e) - min(s) + 1 AS INT) AS span_len
+  FROM f3 GROUP BY doc_id, span_id)"""
+
+
+def dup_spans() -> str:
+    """dup_spans oracle (operators/dedup.py): identical formulation —
+    length-n gram seeds with corpus-wide occurrence > 1, then the
+    per-document interval merge as the SAME two-window running-max /
+    running-sum construction (seed starts are unique per doc, so ORDER BY
+    s is total and both engines see identical window frames)."""
+    return f"""
+WITH {_dup_spans_ctes()}
+SELECT doc_id, span_start, span_end, span_len FROM spansq"""
+
+
+def cut_dup_spans() -> str:
+    """cut_dup_spans oracle (operators/dedup.py): the dup_spans CTE chain,
+    spans collected per doc, then the same index-lambda token filter — a
+    token at 1-based position i survives iff no merged span covers it
+    (DuckDB list lambdas are 1-based where Spark's are 0-based; the
+    engine tests i+1). Spans are disjoint after the merge, so
+    sum(span_len) is the exact cut count."""
+    return f"""
+WITH {_dup_spans_ctes()},
+pd AS (SELECT doc_id,
+              list({{'s': span_start, 'e': span_end}}) AS spans,
+              CAST(sum(span_len) AS INT) AS n_cut
+       FROM spansq GROUP BY doc_id),
+b AS (SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE text IS NOT NULL)
+SELECT b.doc_id AS doc_id, CAST(len(w) AS INT) AS n_tokens,
+       coalesce(pd.n_cut, 0) AS n_cut,
+       coalesce(array_to_string(
+         list_filter(w, (x, i) ->
+           pd.spans IS NULL OR
+           len(list_filter(pd.spans,
+                           sp -> i BETWEEN sp.s AND sp.e)) = 0),
+         ' '), '') AS clean_text
+FROM b LEFT JOIN pd USING (doc_id)"""

@@ -153,3 +153,20 @@ def test_dup_spans_within_doc_repeat_counts(spark):
     got = sorted((r["span_start"], r["span_end"]) for r in out.collect())
     assert got == [(1, 5), (7, 11)]
     assert all(r["doc_id"] == 1 for r in out.collect())
+
+
+def test_cut_dup_spans_removes_only_covered_tokens(spark):
+    from sparkcheck.operators.dedup import cut_dup_spans
+    # doc 2's unique separator token survives the cut; doc 3 (no dup
+    # spans) is untouched; doc 1 is fully covered -> empty clean_text
+    rows = [(1, "a1 a2 a3 a4 a5 b1 b2 b3 b4 b5"),
+            (2, "a1 a2 a3 a4 a5 x b1 b2 b3 b4 b5"),
+            (3, "unique words only right here")]
+    out = {r["doc_id"]: r.asDict() for r in cut_dup_spans(
+        spark.createDataFrame(rows, "doc_id bigint, text string"),
+        "doc_id").collect()}
+    assert out[1]["clean_text"] == "" and out[1]["n_cut"] == 10
+    assert out[2]["clean_text"] == "x" and out[2]["n_cut"] == 10
+    assert out[3]["n_cut"] == 0
+    assert out[3]["clean_text"] == "unique words only right here"
+    assert out[2]["n_tokens"] == 11
