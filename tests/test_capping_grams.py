@@ -170,3 +170,18 @@ def test_cut_dup_spans_removes_only_covered_tokens(spark):
     assert out[3]["n_cut"] == 0
     assert out[3]["clean_text"] == "unique words only right here"
     assert out[2]["n_tokens"] == 11
+
+
+def test_line_dedup_plan_exchange_budget(spark, tmp_path):
+    """Scale contract: line dedup is the three key-partitioned shuffles of
+    its docstring (first-occurrence agg, join-back, per-doc reassembly)
+    plus the doc-frame join — never a per-line global window or sort."""
+    from sparkcheck.operators.dedup import line_dedup
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame([(i, "a\nb\nc") for i in range(50)],
+                          "doc_id bigint, text string").write.parquet(p)
+    plan = line_dedup(spark.read.parquet(p), "doc_id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    # no global sort (window partitions would show a range partitioning)
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert plan.count("Exchange") <= 5, plan

@@ -266,3 +266,14 @@ def test_unigram_logppl_construction_is_lazy(spark):
         sc.setJobGroup("ppl_other", "")
     assert ctor_jobs == []
     assert res.count() == 2
+
+
+def test_c4_quality_plan_is_shuffle_free(spark, tmp_path):
+    """Scale contract: the per-line predicates run as ONE array filter per
+    document — a pure map over the scan, no exchange anywhere."""
+    p = str(tmp_path / "docs.parquet")
+    _docs(spark, [(i, "one two three four five six.") for i in range(50)]) \
+        .write.parquet(p)
+    plan = quality.c4_quality(spark.read.parquet(p)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
