@@ -648,6 +648,20 @@ def q_cut_dup_spans(spark, sf_dir):
     return dedup.cut_dup_spans(_docs(spark, sf_dir), "doc_id")
 
 
+def q_source_mix(spark, sf_dir):
+    """Data-mixing report: per-source document/token counts and 4dp corpus
+    shares — the numbers a pipeline reads before setting sampling rates."""
+    from sparkcheck.operators.textstats import source_mix
+    return source_mix(_docs(spark, sf_dir))
+
+
+def q_lang_mismatch(spark, sf_dir):
+    """Declared-vs-predicted language disagreement (mislabeled-metadata
+    hygiene): stopword lang_id null-safe-compared to the declared tag."""
+    from sparkcheck.operators.textstats import lang_mismatch
+    return lang_mismatch(_docs(spark, sf_dir))
+
+
 # --- rows-only (engine-specific by nature; pytest-verified) ------------------
 
 
@@ -727,6 +741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logppl": q_unigram_logppl,
         "dup_spans": q_dup_spans,
         "cut_dup_spans": q_cut_dup_spans,
+        "source_mix": q_source_mix,
+        "lang_mismatch": q_lang_mismatch,
         # rows-only check (keyed by spark_partition_id — engine-specific by
         # nature, no SQL-expressible oracle; pytest-verified)
         "partition_stats": q_partition_stats,
@@ -805,4 +821,6 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logppl": oracle.unigram_logppl(),
         "dup_spans": oracle.dup_spans(),
         "cut_dup_spans": oracle.cut_dup_spans(),
+        "source_mix": oracle.source_mix(),
+        "lang_mismatch": oracle.lang_mismatch(),
     }

@@ -231,3 +231,46 @@ def unigram_logppl(df: DataFrame, text_col: str = "text") -> DataFrame:
                                  / F.col("n_tokens").cast("double")
                                  / PPL_SCALE * 1e4 + F.lit(0.5)) / 1e4)
                         .alias("logppl")))
+
+
+def source_mix(df: DataFrame, text_col: str = "text",
+               key_col: str = "source") -> DataFrame:
+    """(source, n_docs, n_tokens, doc_share, token_share) — the data-mixing
+    report a training pipeline reads before choosing sampling rates: how
+    much of the corpus (documents and tokens) each source contributes.
+    Shares are 4dp-floored on doubles derived from exact integer counts
+    (the cross-engine float convention).
+
+    Scale shape: one map-side-combining aggregate keyed by source (source
+    cardinality is tiny), totals as a 1-row broadcast aggregate crossJoined
+    into the share expressions — lazy construction, one scan per action."""
+    base = (df.filter(F.col(text_col).isNotNull())
+              .select(F.col(key_col).alias("source"),
+                      F.size(F.split(F.col(text_col), " "))
+                       .cast("bigint").alias("ntok")))
+    per = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").alias("n_tokens"))
+    tot = per.agg(F.sum("n_docs").cast("double").alias("_td"),
+                  F.sum("n_tokens").cast("double").alias("_tt"))
+    return (per.crossJoin(F.broadcast(tot))
+               .select("source", "n_docs", "n_tokens",
+                       (F.floor(F.col("n_docs") / F.col("_td") * 1e4
+                                + F.lit(0.5)) / 1e4).alias("doc_share"),
+                       (F.floor(F.col("n_tokens") / F.col("_tt") * 1e4
+                                + F.lit(0.5)) / 1e4).alias("token_share")))
+
+
+def lang_mismatch(df: DataFrame, text_col: str = "text",
+                  lang_col: str = "lang") -> DataFrame:
+    """(doc_id, lang, lang_pred, mismatch) — declared-vs-predicted language
+    disagreement, the hygiene signal for mislabeled crawl metadata: runs
+    the stopword lang_id heuristic and null-safe-compares it to the
+    declared tag. One doc_id equi-join back to the declared column."""
+    docs = df.filter(F.col(text_col).isNotNull())
+    pred = lang_id(docs, text_col)
+    return (docs.select("doc_id", F.col(lang_col).alias("lang"))
+                .join(pred, "doc_id")
+                .select("doc_id", "lang", "lang_pred",
+                        (~F.col("lang").eqNullSafe(F.col("lang_pred")))
+                        .alias("mismatch")))

@@ -1329,3 +1329,32 @@ SELECT b.doc_id AS doc_id, CAST(len(w) AS INT) AS n_tokens,
                            sp -> i BETWEEN sp.s AND sp.e)) = 0),
          ' '), '') AS clean_text
 FROM b LEFT JOIN pd USING (doc_id)"""
+
+
+def source_mix() -> str:
+    """source_mix oracle (operators/textstats.py): identical formulation —
+    exact integer counts per source, totals as a scalar subquery, shares
+    floored at 4dp from the same double expression shape."""
+    return """
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents WHERE text IS NOT NULL GROUP BY source),
+tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS td,
+               CAST(sum(n_tokens) AS DOUBLE) AS tt FROM per)
+SELECT source, n_docs, n_tokens,
+       FLOOR(n_docs / td * 10000 + 0.5) / 10000.0 AS doc_share,
+       FLOOR(n_tokens / tt * 10000 + 0.5) / 10000.0 AS token_share
+FROM per CROSS JOIN tot"""
+
+
+def lang_mismatch() -> str:
+    """lang_mismatch oracle (operators/textstats.py): the lang_id oracle as
+    a CTE, null-safe-compared (IS DISTINCT FROM ≡ Spark's negated
+    eqNullSafe) against the declared lang tag."""
+    return f"""
+WITH pred AS ({lang_id()})
+SELECT d.doc_id AS doc_id, d.lang AS lang, p.lang_pred AS lang_pred,
+       (d.lang IS DISTINCT FROM p.lang_pred) AS mismatch
+FROM documents d JOIN pred p USING (doc_id)
+WHERE d.text IS NOT NULL"""

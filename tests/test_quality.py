@@ -277,3 +277,26 @@ def test_c4_quality_plan_is_shuffle_free(spark, tmp_path):
     plan = quality.c4_quality(spark.read.parquet(p)) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_source_mix_known_answer(spark):
+    from sparkcheck.operators.textstats import source_mix
+    rows = [(1, "a b c", "web"), (2, "d e", "web"), (3, "f g h i j", "books")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = {r["source"]: r.asDict() for r in source_mix(df).collect()}
+    assert out["web"]["n_docs"] == 2 and out["web"]["n_tokens"] == 5
+    assert out["books"]["n_docs"] == 1 and out["books"]["n_tokens"] == 5
+    assert out["web"]["doc_share"] == 0.6667   # floor(2/3*1e4+.5)/1e4
+    assert out["web"]["token_share"] == 0.5
+    assert out["books"]["token_share"] == 0.5
+
+
+def test_lang_mismatch_null_safe(spark):
+    from sparkcheck.operators.textstats import lang_mismatch
+    en = "the cat and the dog with a hat"     # stopword-rich English
+    rows = [(1, en, "en"), (2, en, "fr"), (3, en, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    out = {r["doc_id"]: r.asDict() for r in lang_mismatch(df).collect()}
+    assert out[1]["lang_pred"] == "en" and not out[1]["mismatch"]
+    assert out[2]["mismatch"]
+    assert out[3]["mismatch"] and out[3]["lang"] is None
