@@ -211,6 +211,52 @@ def main() -> None:
         "pure codegen filter — zero exchanges, no RNG state; the sample of "
         "a union of shards equals the union of shard samples"))
 
+    # C4 cleaning (line granularity)
+    lined = docs_full.select(
+        "doc_id", F.regexp_replace("text", r"\. ", ".\n").alias("text"))
+    c4 = quality.c4_quality(lined)
+    c4.collect()
+    out.append(summarize(
+        "C4 line/doc cleaning heuristics", plan_of(c4),
+        "one array filter per document, entirely map-side — ZERO "
+        "exchanges; the per-line predicates never leave the scan stage"))
+
+    # cross-document line dedup
+    ld = dedup.line_dedup(lined, "doc_id")
+    ld.collect()
+    out.append(summarize(
+        "cross-document line dedup (first occurrence)", plan_of(ld),
+        "first-occurrence survivor per line via min(struct) group-agg + "
+        "join-back (no per-line window partitions, no global sort); "
+        "per-doc reassembly rides a doc_id hash aggregate"))
+
+    # unigram LM perplexity
+    from sparkcheck.operators.textstats import source_mix, unigram_logppl
+    ppl = unigram_logppl(docs_full)
+    ppl.collect()
+    out.append(summarize(
+        "unigram LM perplexity proxy", plan_of(ppl),
+        "vocab counts map-side-combining; corpus total is a 1-row "
+        "broadcast aggregate (no eager action); per-token micro-nat "
+        "quantization keeps the per-doc sum order-independent"))
+
+    # duplicated spans + cut
+    cut = dedup.cut_dup_spans(docs_full, "doc_id")
+    cut.collect()
+    out.append(summarize(
+        "exact-substring span cut (Lee et al.)", plan_of(cut),
+        "seed grams counted map-side; interval merge windows partition on "
+        "doc_id (bounded by doc length); spans collected per doc and cut "
+        "with a shuffle-free index-lambda array filter"))
+
+    # source mixture report
+    mix = source_mix(docs_full)
+    mix.collect()
+    out.append(summarize(
+        "data-mixing report (per-source shares)", plan_of(mix),
+        "one map-side-combining aggregate on the (tiny) source key; "
+        "totals broadcast back as a 1-row frame"))
+
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print("wrote BENCH/PLANS.md")
