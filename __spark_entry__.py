@@ -662,6 +662,15 @@ def q_lang_mismatch(spark, sf_dir):
     return lang_mismatch(_docs(spark, sf_dir))
 
 
+def q_drift_trend(spark, sf_dir):
+    """Day-over-day drift trend: per-day KL of the lang distribution vs
+    the previous crawl day — catches a mid-ingest distribution break with
+    no baseline snapshot to manage."""
+    from sparkcheck.operators.drift import windowed_kl
+    return windowed_kl(_pages(spark, sf_dir),
+                       F.coalesce(F.col("lang"), F.lit("∅")))
+
+
 # --- rows-only (engine-specific by nature; pytest-verified) ------------------
 
 
@@ -743,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cut_dup_spans": q_cut_dup_spans,
         "source_mix": q_source_mix,
         "lang_mismatch": q_lang_mismatch,
+        "drift_trend": q_drift_trend,
         # rows-only check (keyed by spark_partition_id — engine-specific by
         # nature, no SQL-expressible oracle; pytest-verified)
         "partition_stats": q_partition_stats,
@@ -823,4 +833,5 @@ def oracle_sql() -> dict[str, str]:
         "cut_dup_spans": oracle.cut_dup_spans(),
         "source_mix": oracle.source_mix(),
         "lang_mismatch": oracle.lang_mismatch(),
+        "drift_trend": oracle.drift_trend(),
     }

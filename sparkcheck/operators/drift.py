@@ -80,3 +80,43 @@ def psi(df: DataFrame, col: str, bucket_expr: Column,
         * F.log((F.col("p") + s) / (F.col("q") + s))
     row = joined.agg(F.sum(term).alias("psi")).collect()[0]
     return float(row["psi"]) if row["psi"] is not None else 0.0
+
+
+def windowed_kl(df: DataFrame, bucket_expr: Column,
+                epoch_col: str = "warc_epoch", bucket_s: int = 86400,
+                smoothing: float = 1e-9) -> DataFrame:
+    """(day, kl4) — drift TREND: KL(day d ‖ day d-1) of the bucket
+    distribution for every day with a predecessor in the data. Where
+    kl_divergence compares one run against a stored baseline, this tracks
+    the crawl against its own recent past — the signal that catches a
+    mid-ingest distribution break (a source switching language mix, a
+    parser regression skewing lengths) without any snapshot management.
+
+    Scale shape: one map-side-combining (day, bucket) count; per-day
+    totals are an O(days) re-aggregate; the day-over-day comparison is a
+    full-outer self-join of the O(days×buckets) histogram frame against
+    itself shifted by one day — never the input. First days (no
+    predecessor) are excluded by a semi-join against the shifted day set.
+    The per-day KL sum is a sum of ~|buckets| doubles, the same
+    cross-engine convention the baseline drift queries already ride."""
+    rows = (df.filter(F.col(epoch_col).isNotNull())
+              .select(F.expr(f"CAST({epoch_col} AS BIGINT) div "
+                             f"{int(bucket_s)}").alias("day"),
+                      bucket_expr.cast("string").alias("b")))
+    counts = rows.groupBy("day", "b").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("day").agg(F.sum("n").alias("tot"))
+    h = (counts.join(totals, "day")
+               .select("day", "b", (F.col("n") / F.col("tot")).alias("p")))
+    prev = h.select((F.col("day") + 1).alias("day"), "b",
+                    F.col("p").alias("q"))
+    j = (h.join(prev, ["day", "b"], "full_outer")
+          .select("day", F.coalesce("p", F.lit(0.0)).alias("p"),
+                  F.coalesce("q", F.lit(0.0)).alias("q")))
+    days = h.select("day").distinct()
+    valid = days.join(days.select((F.col("day") + 1).alias("day")),
+                      "day", "left_semi")
+    s = F.lit(smoothing)
+    term = (F.col("p") + s) * F.log((F.col("p") + s) / (F.col("q") + s))
+    out = j.groupBy("day").agg(
+        (F.floor(F.sum(term) * 1e4 + F.lit(0.5)) / 1e4).alias("kl4"))
+    return out.join(valid, "day", "left_semi").select("day", "kl4")

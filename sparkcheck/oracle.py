@@ -1358,3 +1358,31 @@ SELECT d.doc_id AS doc_id, d.lang AS lang, p.lang_pred AS lang_pred,
        (d.lang IS DISTINCT FROM p.lang_pred) AS mismatch
 FROM documents d JOIN pred p USING (doc_id)
 WHERE d.text IS NOT NULL"""
+
+
+def drift_trend(bucket_s: int = 86400, smoothing: float = 1e-9) -> str:
+    """windowed_kl oracle (operators/drift.py): identical formulation —
+    integer day buckets (warc_epoch // bucket_s, exact on both sides),
+    histogram self-joined against its one-day shift, first days excluded
+    via the shifted day set, same smoothing/ln/4dp-floor expression shape
+    as the baseline drift oracles."""
+    return f"""
+WITH pages AS ({pages_cte('duckdb', REPLICAS)}),
+r AS (SELECT warc_epoch // {int(bucket_s)} AS day,
+             COALESCE(lang, '∅') AS b
+      FROM pages WHERE warc_epoch IS NOT NULL),
+c AS (SELECT day, b, count(*) AS n FROM r GROUP BY day, b),
+t AS (SELECT day, sum(n) AS tot FROM c GROUP BY day),
+h AS (SELECT c.day, c.b, c.n * 1.0 / t.tot AS p FROM c JOIN t USING (day)),
+pv AS (SELECT day + 1 AS day, b, p AS q FROM h),
+j AS (SELECT COALESCE(h.day, pv.day) AS day,
+             COALESCE(h.p, 0.0) AS p, COALESCE(pv.q, 0.0) AS q
+      FROM h FULL OUTER JOIN pv ON h.day = pv.day AND h.b = pv.b),
+days AS (SELECT DISTINCT day FROM h),
+valid AS (SELECT d.day FROM days d
+          JOIN (SELECT day + 1 AS day FROM days) p0 USING (day)),
+k AS (SELECT day,
+             FLOOR(SUM((p + {smoothing}) * LN((p + {smoothing})
+                   / (q + {smoothing}))) * 10000 + 0.5) / 10000.0 AS kl4
+      FROM j GROUP BY day)
+SELECT k.day AS day, k.kl4 AS kl4 FROM k JOIN valid USING (day)"""

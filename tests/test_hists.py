@@ -37,3 +37,23 @@ def test_hists_none_when_not_requested(spark):
          .column_stats(["url"]))
     res = v.validate(df, persist=False)
     assert res.stats is not None and res.hists is None
+
+
+def test_windowed_kl_known_answer(spark):
+    """day 101: p=(.75,.25) vs day 100 q=(.5,.5) → KL ≈ 0.1308; day 100
+    has no predecessor and must not appear; a gap day breaks the chain."""
+    import math
+    from pyspark.sql import functions as F
+
+    from sparkcheck.operators.drift import windowed_kl
+    rows = ([(100 * 86400, "a")] * 2 + [(100 * 86400, "b")] * 2
+            + [(101 * 86400, "a")] * 3 + [(101 * 86400, "b")]
+            + [(200 * 86400, "a")])           # isolated day → excluded
+    df = spark.createDataFrame(rows, "warc_epoch bigint, lang string")
+    out = {r["day"]: r["kl4"] for r in
+           windowed_kl(df, F.col("lang")).collect()}
+    assert set(out) == {101}
+    s = 1e-9
+    expect = ((0.75 + s) * math.log((0.75 + s) / (0.5 + s))
+              + (0.25 + s) * math.log((0.25 + s) / (0.5 + s)))
+    assert out[101] == math.floor(expect * 1e4 + 0.5) / 1e4
