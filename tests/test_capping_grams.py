@@ -185,3 +185,19 @@ def test_line_dedup_plan_exchange_budget(spark, tmp_path):
     # no global sort (window partitions would show a range partitioning)
     assert "rangepartitioning" not in plan.lower(), plan
     assert plan.count("Exchange") <= 5, plan
+
+
+def test_dup_spans_plan_no_global_sort_or_cartesian(spark, tmp_path):
+    """Scale contract: seed counting is a hash aggregate, the interval
+    merge windows hash-partition on doc_id — no range partitioning (global
+    sort) and no cartesian product anywhere."""
+    from sparkcheck.operators.dedup import dup_spans
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, "a1 a2 a3 a4 a5 b%d" % i) for i in range(60)],
+        "doc_id bigint, text string").write.parquet(p)
+    plan = dup_spans(spark.read.parquet(p), "doc_id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
