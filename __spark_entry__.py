@@ -458,6 +458,21 @@ def q_training_shard(spark, sf_dir):
     return pipeline.training_shard(docs, bench)
 
 
+def q_training_shard_v2(spark, sf_dir):
+    """The v2 composition (VERDICT r5 item 4): the finer dedup
+    granularities run where a production pipeline (RefinedWeb / Lee et al.
+    2022) runs them — BETWEEN the quality gate and document dedup:
+    gopher gate → cross-document line dedup → duplicated-span cut → exact
+    dedup on the CLEANED text → stratified sample. Same deterministically
+    line-structured corpus as c4_quality / line_dedup."""
+    from sparkcheck.operators import pipeline, quality
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    structured = docs.select(
+        "doc_id", "lang",
+        quality.lines_noise("text", "doc_id").alias("text"))
+    return pipeline.training_shard_v2(structured)
+
+
 def q_funnel(spark, sf_dir):
     """Ordered funnel over the events stream (view → click → purchase):
     chained min-aggregates on the user key, >= step convention."""
@@ -756,6 +771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only check (keyed by spark_partition_id — engine-specific by
         # nature, no SQL-expressible oracle; pytest-verified)
         "partition_stats": q_partition_stats,
+        # round-6 additions (append-only per the registry freeze)
+        "training_shard_v2": q_training_shard_v2,
     }
 
 
@@ -834,4 +851,5 @@ def oracle_sql() -> dict[str, str]:
         "source_mix": oracle.source_mix(),
         "lang_mismatch": oracle.lang_mismatch(),
         "drift_trend": oracle.drift_trend(),
+        "training_shard_v2": oracle.training_shard_v2(),
     }

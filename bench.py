@@ -47,19 +47,31 @@ def main() -> None:
     spark = get_spark(cores=cpus, app="sparkcheck-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # optional per-op filter (bench_ab.py --queries mode): run ONLY the
+    # named rows — per-op prev/head A/B needs each side cheap enough to
+    # interleave best-of-N in one afternoon
+    qfilter = {q for q in os.environ.get(
+        "SPARKCHECK_BENCH_QUERIES", "").split(",") if q}
+
+    def want(name: str) -> bool:
+        return not qfilter or name in qfilter
+
     # warmup (untimed): run the SAME plan shape once at full size —
     # the first execution of each generated-code plan pays JIT/C2
     # compilation of the (large) whole-stage code and python-worker
     # startup (measured 2-4x on the first run); steady-state throughput
-    # is what the metric reports
-    _, warm = S.run_suite(spark, sf_dir, replicas=replicas)
-    _force(warm.verdicts)
-    _force(warm.violations)
-    if warm.stats is not None:
-        _force(warm.stats)
-    if warm.hists is not None:
-        _force(warm.hists)
-    warm.unpersist()
+    # is what the metric reports. (In --queries mode each timed row's
+    # rep 1 is its own warmup — skip the full-suite warmup unless the
+    # full suite itself is being measured.)
+    if want("full_suite"):
+        _, warm = S.run_suite(spark, sf_dir, replicas=replicas)
+        _force(warm.verdicts)
+        _force(warm.violations)
+        if warm.stats is not None:
+            _force(warm.stats)
+        if warm.hists is not None:
+            _force(warm.hists)
+        warm.unpersist()
 
     pages = load_pages(spark, sf_dir, replicas=replicas)
     dim = iso_lang_dim(spark)
@@ -67,25 +79,37 @@ def main() -> None:
 
     # drift baseline is a stored artifact of a prior run — precompute it
     # (untimed) and hand the materialized snapshot to the suite, as a real
-    # deployment would read it from a tiny parquet table
-    baseline = spark.createDataFrame(
-        S.make_baseline(pages, replicas, dim).collect(),
-        "col string, bucket string, p double")
+    # deployment would read it from a tiny parquet table (only needed by
+    # the suite/drift rows — skip the pass in --queries mode otherwise)
+    baseline = None
+    if want("full_suite") or want("drift_kl"):
+        baseline = spark.createDataFrame(
+            S.make_baseline(pages, replicas, dim).collect(),
+            "col string, bucket string, p double")
 
     timings: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
+    run_ts: dict[str, list[float]] = {}
 
     def timed(name, fn, reps=1):
         """Best-of-`reps` timing; every raw run is recorded in the output so
         round-over-round comparisons can see through this host's documented
         multi-minute external contention bursts (a single-shot row that
-        regressed 3× on paper was indistinguishable from contention)."""
+        regressed 3× on paper was indistinguishable from contention).
+        Each run's UNIX start timestamp is recorded too (VERDICT r5 item 1:
+        attribute outliers to specific moments, not whole runs). In
+        --queries mode, rows not named in the filter are skipped."""
+        if not want(name):
+            return
         runs = []
+        starts = []
         for _ in range(reps):
+            starts.append(round(time.time(), 2))
             t0 = time.perf_counter()
             fn()
             runs.append(round(time.perf_counter() - t0, 3))
         raw_runs[name] = runs
+        run_ts[name] = starts
         timings[name] = min(runs)
 
     # full suite: verdicts + violations forced (stats/drift included)
@@ -180,7 +204,9 @@ def main() -> None:
                                     "1024000"))
     ann_queries = [0, 1, 2, 3, 4]
     ann_block: dict = {}
-    if ann_target > 0:
+    ann_1m_names = ("ann_lsh_topk_1m", "ann_ivf_topk_1m",
+                    "ann_brute_topk_1m")
+    if ann_target > 0 and any(want(n) for n in ann_1m_names):
         n_base = _force(emb)
         ann_reps = max(1, ann_target // n_base)
         ann_dir = tempfile.mkdtemp(prefix="sparkcheck_ann_")
@@ -196,10 +222,6 @@ def main() -> None:
         timed("ann_ivf_topk_1m", lambda: _force(
             similarity.ivf_topk(emb1m, ann_queries, k=10, nprobe=2)),
             reps=inner)
-        # plan confirmation: the auto-switched assignment really is the
-        # Arrow path (ArrowEvalPython stage present only above the switch)
-        ivf_plan = similarity.ivf_topk(emb1m, ann_queries, k=10, nprobe=2) \
-            ._jdf.queryExecution().executedPlan().toString()
         # the Arrow brute force is both the recall oracle AND a headline
         # point of its own: at Q=5 queries the one-pass exact scan beats
         # IVF (whose cost is the query-independent corpus assignment —
@@ -207,22 +229,31 @@ def main() -> None:
         timed("ann_brute_topk_1m", lambda: _force(
             similarity.brute_topk_udf(emb1m, ann_queries, k=10)),
             reps=inner)
-        brute1m = {(r["query_id"], r["vec_id"]) for r in
-                   similarity.brute_topk_udf(emb1m, ann_queries, k=10)
-                   .collect()}
-        lsh1m = {(r["query_id"], r["vec_id"]) for r in
-                 similarity.lsh_topk(emb1m, ann_queries, k=10, bits=bits1m,
-                                     tables=2, use_udf=True).collect()}
-        ivf1m = {(r["query_id"], r["vec_id"]) for r in
-                 similarity.ivf_topk(emb1m, ann_queries, k=10, nprobe=2)
-                 .collect()}
-        ann_block = {
-            "rows": n1m, "bits": bits1m, "centroids": c1m,
-            "ivf_arrow_assignment": ("ArrowEvalPython" in ivf_plan
-                                     and c1m > similarity.IVF_UDF_SWITCH),
-            "recall_lsh": round(len(brute1m & lsh1m) / len(brute1m), 4),
-            "recall_ivf": round(len(brute1m & ivf1m) / len(brute1m), 4),
-        }
+        # recall block (untimed): ONE collect per query family; the IVF
+        # DataFrame doubles as the plan-confirmation source so the bench
+        # pays no extra full pass just to stringify the plan (the r5
+        # verdict flagged the old 3rd rebuild + re-collects as ~4 extra
+        # corpus passes widening the contention window). Skipped in
+        # --queries mode: the A/B wants tight interleaved wall-clock rows,
+        # not re-derived recall evidence.
+        if not qfilter:
+            ivf_df = similarity.ivf_topk(emb1m, ann_queries, k=10, nprobe=2)
+            ivf1m = {(r["query_id"], r["vec_id"]) for r in ivf_df.collect()}
+            ivf_plan = ivf_df._jdf.queryExecution().executedPlan().toString()
+            brute1m = {(r["query_id"], r["vec_id"]) for r in
+                       similarity.brute_topk_udf(emb1m, ann_queries, k=10)
+                       .collect()}
+            lsh1m = {(r["query_id"], r["vec_id"]) for r in
+                     similarity.lsh_topk(emb1m, ann_queries, k=10,
+                                         bits=bits1m, tables=2,
+                                         use_udf=True).collect()}
+            ann_block = {
+                "rows": n1m, "bits": bits1m, "centroids": c1m,
+                "ivf_arrow_assignment": ("ArrowEvalPython" in ivf_plan
+                                         and c1m > similarity.IVF_UDF_SWITCH),
+                "recall_lsh": round(len(brute1m & lsh1m) / len(brute1m), 4),
+                "recall_ivf": round(len(brute1m & ivf1m) / len(brute1m), 4),
+            }
         shutil.rmtree(ann_dir, ignore_errors=True)
 
     # event-stream operators over a replica-amplified events table (users
@@ -231,20 +262,24 @@ def main() -> None:
     # BEFORE the replica explode, same lesson as the pages loader.
     from sparkcheck.operators.asof import asof_join
     from sparkcheck.operators.sessions import sessionize
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(cpus)
-    ev_reps = 20
-    # replica key shift derived from the data (one O(1) setup aggregate):
-    # a hardcoded stride would silently collide replica key spaces if the
-    # generator ever grows the user domain, shrinking the keys these
-    # benches are meant to scale
-    ev_shift = ev.agg(F.max("user_id")).first()[0] + 1
-    ev2m = (ev.crossJoin(spark.range(ev_reps).withColumnRenamed("id", "rep"))
-              .withColumn("user_id",
-                          F.col("user_id") + F.col("rep") * ev_shift)
-              .withColumn("event_id",
-                          F.col("event_id") * ev_reps + F.col("rep"))
-              .drop("rep"))
-    timed("sessionize_2m", lambda: _force(sessionize(ev2m)), reps=inner)
+    ev2m = None
+    if want("sessionize_2m") or want("asof_join_2m"):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+                  .repartition(cpus)
+        ev_reps = 20
+        # replica key shift derived from the data (one O(1) setup
+        # aggregate): a hardcoded stride would silently collide replica key
+        # spaces if the generator ever grows the user domain, shrinking the
+        # keys these benches are meant to scale
+        ev_shift = ev.agg(F.max("user_id")).first()[0] + 1
+        ev2m = (ev.crossJoin(
+                    spark.range(ev_reps).withColumnRenamed("id", "rep"))
+                  .withColumn("user_id",
+                              F.col("user_id") + F.col("rep") * ev_shift)
+                  .withColumn("event_id",
+                              F.col("event_id") * ev_reps + F.col("rep"))
+                  .drop("rep"))
+        timed("sessionize_2m", lambda: _force(sessionize(ev2m)), reps=inner)
     # composed training-set materialization at constant size (its n-gram
     # explode dominates if run at full replicas)
     from sparkcheck.operators import pipeline, quality
@@ -263,23 +298,34 @@ def main() -> None:
         quality.c4_quality(lined, "rid")), reps=inner)
     timed("line_dedup_100k", lambda: _force(
         dedup.line_dedup(lined, "rid")), reps=inner)
+    # span family (VERDICT r5 item 5): the most shuffle-intensive new
+    # operators — gram explode + per-doc two-window interval merge (+ the
+    # span-cut join-back) — get their own wall-clock rows
+    timed("dup_spans_100k", lambda: _force(
+        dedup.dup_spans(mh_pages, "rid")), reps=inner)
+    timed("cut_dup_spans_100k", lambda: _force(
+        dedup.cut_dup_spans(mh_pages, "rid")), reps=inner)
     from sparkcheck.operators.textstats import unigram_logppl
     timed("unigram_logppl_100k", lambda: _force(
         unigram_logppl(shard_docs)), reps=inner)
-    upd = (ev2m.filter(F.col("event_id") % 20 == 0)
-               .select("user_id", "ts", F.col("value").alias("asof_value")))
-    timed("asof_join_2m", lambda: _force(
-        asof_join(ev2m, upd, on="user_id", ts_col="ts",
-                  left_cols=["event_id", "user_id"],
-                  right_cols=["asof_value"])), reps=inner)
+    if ev2m is not None:
+        upd = (ev2m.filter(F.col("event_id") % 20 == 0)
+                   .select("user_id", "ts",
+                           F.col("value").alias("asof_value")))
+        timed("asof_join_2m", lambda: _force(
+            asof_join(ev2m, upd, on="user_id", ts_col="ts",
+                      left_cols=["event_id", "user_id"],
+                      right_cols=["asof_value"])), reps=inner)
 
-    docs_per_sec = round(n_rows / timings["full_suite"], 1)
+    docs_per_sec = (round(n_rows / timings["full_suite"], 1)
+                    if "full_suite" in timings else None)
     out = {
         "metric": "validated_docs_per_sec_full_suite",
         "value": docs_per_sec,
         "unit": "docs/sec",
         "queries": timings,
         "query_runs": raw_runs,
+        "query_run_ts": run_ts,
         "sf": sf_dir.rstrip("/").split("/")[-1],
         "rows": n_rows,
         "cores": cpus,
@@ -290,14 +336,17 @@ def main() -> None:
     # same-day A/B evidence (scripts/bench_ab.py writes it; round-over-round
     # headline comparisons are only trustworthy produced that way — this
     # host shows 30% same-config spread across days)
-    ab_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH", "ab_latest.json")
-    if os.path.exists(ab_path):
-        try:
-            with open(ab_path) as f:
-                out["ab"] = json.load(f)
-        except (OSError, json.JSONDecodeError):
-            pass
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH")
+    for key, fname in (("ab", "ab_latest.json"),
+                       ("ab_queries", "ab_queries_latest.json")):
+        path = os.path.join(bench_dir, fname)
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    out[key] = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                pass
     print(json.dumps(out))
 
 

@@ -45,20 +45,29 @@ def sh(args: list[str], cwd: str = REPO) -> str:
 
 
 def run_once(tree: str, cores: int, replicas: int, sf_dir: str,
-             timeout_s: int) -> float:
+             timeout_s: int, queries: str = "",
+             script: str | None = None) -> dict[str, float]:
+    """One bench subprocess over `tree`'s sparkcheck; returns the timings
+    dict. Default mode runs the tree's own bench.py with
+    SPARKCHECK_BENCH_ONLY=full_suite; --queries mode runs `script` (the
+    HEAD harness, copied into the worktree so both sides define identical
+    rows) with SPARKCHECK_BENCH_QUERIES set."""
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=sf_dir,
                SPARK_GRAFT_CPUS=str(cores),
                SPARKCHECK_BENCH_REPLICAS=str(replicas),
-               SPARKCHECK_BENCH_ONLY="full_suite",
                SPARKCHECK_BENCH_INNER="1",
                PYTHONPATH=tree)
+    if queries:
+        env["SPARKCHECK_BENCH_QUERIES"] = queries
+    else:
+        env["SPARKCHECK_BENCH_ONLY"] = "full_suite"
     # own process group so a hung child is killed exactly, not host-wide
     # (same discipline as bench_scaling.run_once)
-    proc = subprocess.Popen([sys.executable, os.path.join(tree, "bench.py")],
-                            env=env, cwd=tree, stdout=subprocess.PIPE,
-                            stderr=subprocess.DEVNULL, text=True,
-                            start_new_session=True)
+    proc = subprocess.Popen(
+        [sys.executable, script or os.path.join(tree, "bench.py")],
+        env=env, cwd=tree, stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL, text=True, start_new_session=True)
     try:
         stdout, _ = proc.communicate(timeout=timeout_s)
     except subprocess.TimeoutExpired:
@@ -71,7 +80,7 @@ def run_once(tree: str, cores: int, replicas: int, sf_dir: str,
     if proc.returncode != 0:
         raise subprocess.CalledProcessError(proc.returncode, "bench.py")
     line = [l for l in stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)["queries"]["full_suite"]
+    return json.loads(line)["queries"]
 
 
 def main() -> int:
@@ -83,6 +92,12 @@ def main() -> int:
     ap.add_argument("--replicas", type=int, default=400)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--timeout", type=int, default=1800)
+    ap.add_argument("--queries", default="",
+                    help="comma-separated bench row names → per-operator "
+                         "A/B (VERDICT r5 item 3): both sides run the HEAD "
+                         "harness (bench.py copied into the prev worktree, "
+                         "so rows are defined identically) over each "
+                         "side's own sparkcheck package, interleaved")
     args = ap.parse_args()
 
     dirty = [l for l in sh(["git", "status", "--porcelain",
@@ -102,31 +117,61 @@ def main() -> int:
         shutil.rmtree(wt, ignore_errors=True)
     sh(["git", "worktree", "add", "--detach", wt, prev])
     try:
-        runs: dict[str, list[float]] = {"prev": [], "head": []}
+        script = None
+        if args.queries:
+            # per-op mode: both sides run the HEAD harness so every row is
+            # the same code path; the A/B variable is the sparkcheck
+            # package each tree resolves (script dir is first on sys.path,
+            # hence the copy instead of PYTHONPATH games)
+            script = os.path.join(wt, "bench_head.py")
+            shutil.copy(os.path.join(REPO, "bench.py"), script)
+        qnames = [q for q in args.queries.split(",") if q]
+        runs: dict[str, list] = {"prev": [], "head": []}
+        stamps: dict[str, list[float]] = {"prev": [], "head": []}
         for i in range(args.reps):
             # interleaved, serial — never two Spark jobs at once
             for side, tree in (("prev", wt), ("head", REPO)):
                 t0 = time.time()
-                secs = run_once(tree, args.cores, args.replicas, args.sf,
-                                args.timeout)
-                runs[side].append(round(secs, 3))
-                print(f"rep {i + 1}/{args.reps} {side} ({head if side == 'head' else prev}): "
-                      f"full_suite {secs:.2f}s "
+                stamps[side].append(round(t0, 1))
+                q = run_once(tree, args.cores, args.replicas, args.sf,
+                             args.timeout, queries=args.queries,
+                             script=script if side == "prev" else None)
+                runs[side].append({k: round(v, 3) for k, v in q.items()}
+                                  if qnames else round(q["full_suite"], 3))
+                shown = (" ".join(f"{k}={q[k]:.2f}s" for k in sorted(q))
+                         if qnames else f"full_suite {q['full_suite']:.2f}s")
+                print(f"rep {i + 1}/{args.reps} {side} "
+                      f"({head if side == 'head' else prev}): {shown} "
                       f"(subprocess {time.time() - t0:.0f}s)", flush=True)
-        best_prev, best_head = min(runs["prev"]), min(runs["head"])
         out = {
             "prev_rev": prev, "head_rev": head,
             "date": time.strftime("%Y-%m-%d"),
             "config": {"cores": args.cores, "replicas": args.replicas,
                        "sf": args.sf.rstrip("/").split("/")[-1],
-                       "metric": "full_suite seconds, interleaved, "
-                                 f"best-of-{args.reps}"},
+                       "metric": (("per-op seconds (" + args.queries + ")")
+                                  if qnames else "full_suite seconds")
+                                 + f", interleaved, best-of-{args.reps}"},
             "runs": runs,
-            "best": {"prev": best_prev, "head": best_head},
-            "head_over_prev": round(best_prev / best_head, 4),
+            "run_start_ts": stamps,
         }
+        if qnames:
+            per_q = {}
+            for name in qnames:
+                p = [r[name] for r in runs["prev"] if name in r]
+                h = [r[name] for r in runs["head"] if name in r]
+                per_q[name] = {
+                    "prev": p, "head": h,
+                    "best": {"prev": min(p), "head": min(h)},
+                    "head_over_prev": round(min(p) / min(h), 4)}
+            out["queries"] = per_q
+            ab_path = os.path.join(REPO, "BENCH", "ab_queries_latest.json")
+        else:
+            best_prev, best_head = min(runs["prev"]), min(runs["head"])
+            out["best"] = {"prev": best_prev, "head": best_head}
+            out["head_over_prev"] = round(best_prev / best_head, 4)
+            ab_path = os.path.join(REPO, "BENCH", "ab_latest.json")
         os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-        with open(os.path.join(REPO, "BENCH", "ab_latest.json"), "w") as f:
+        with open(ab_path, "w") as f:
             json.dump(out, f, indent=1)
         print(json.dumps(out))
         return 0

@@ -533,8 +533,22 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text",
                       simhash_bits(text_col, bits).alias("simhash")))
 
 
+def _keyed(col, key: str):
+    """Shuffle-key choice for gram/line-keyed aggregates and joins:
+    key='string' groups on the raw text (byte-parity with the oracle);
+    key='hash' swaps in xxhash64(text) — identical groups up to 64-bit
+    collisions (~N²/2⁶⁵: negligible at 10^12 grams) at a fraction of the
+    shuffle width (8 bytes vs the full gram/line string). The VERDICT r5
+    item 6 option: at 100 TB the string key IS the shuffle cost."""
+    if key == "hash":
+        return F.xxhash64(col)
+    if key == "string":
+        return col
+    raise ValueError(f"key must be 'string' or 'hash', got {key!r}")
+
+
 def cross_doc_gram_frac(df: DataFrame, id_col: str, text_col: str = "text",
-                        n: int = SHINGLE) -> DataFrame:
+                        n: int = SHINGLE, key: str = "string") -> DataFrame:
     """Per-document cross-corpus duplicate n-gram fraction — the
     RefinedWeb/MassiveText-style `dup_ngram_frac` filter signal: the share
     of a document's DISTINCT word n-grams that also appear in at least one
@@ -550,10 +564,11 @@ def cross_doc_gram_frac(df: DataFrame, id_col: str, text_col: str = "text",
     (id, gram), one map-side-combining aggregate per gram for document
     counts, join back, per-doc aggregate. Three key-partitioned shuffles,
     nothing all-pairs; the gram→count join is AQE's call (the dup-gram side
-    is data-dependent). At 100 TB swap the gram string for xxhash64(gram)
-    to cut shuffle width — counts identical up to 64-bit collisions; the
-    oracled formulation keeps the string so both engines group on
-    byte-identical keys.
+    is data-dependent). key='hash' (the 100-TB option, VERDICT r5 item 6)
+    swaps the gram string for xxhash64(gram) as the distinct/agg/join key
+    to cut shuffle width — counts identical up to 64-bit collisions
+    (~N²/2⁶⁵); key='string' (default) keeps byte-identical oracle group
+    keys. Equivalence pytest-pinned.
     """
     words = F.split(F.col(text_col), " ")
     base = (df.filter(F.col(text_col).isNotNull())
@@ -564,10 +579,11 @@ def cross_doc_gram_frac(df: DataFrame, id_col: str, text_col: str = "text",
                .otherwise(F.array(F.lit(0))))
     grams = (base.select("id", F.explode(starts).alias("i"), "w")
                  .select("id",
-                         F.when(F.col("i") == 0, F.array_join("w", " "))
-                          .otherwise(F.array_join(
-                              F.slice("w", F.col("i"), n), " "))
-                          .alias("gram")))
+                         _keyed(F.when(F.col("i") == 0,
+                                       F.array_join("w", " "))
+                                 .otherwise(F.array_join(
+                                     F.slice("w", F.col("i"), n), " ")),
+                                key).alias("gram")))
     dg = grams.distinct()
     gc = dg.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
     dup = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).cast("bigint")
@@ -580,8 +596,8 @@ def cross_doc_gram_frac(df: DataFrame, id_col: str, text_col: str = "text",
                                * 1e4 + F.lit(0.5)) / 1e4).alias("dup_frac")))
 
 
-def line_dedup(df: DataFrame, id_col: str, text_col: str = "text") \
-        -> DataFrame:
+def line_dedup(df: DataFrame, id_col: str, text_col: str = "text",
+               key: str = "string") -> DataFrame:
     """Cross-document line-level deduplication — the CCNet/RefinedWeb
     boilerplate-removal pass: across the whole corpus, each DISTINCT line
     text survives exactly once, in its first occurrence by (doc_id, line
@@ -597,20 +613,28 @@ def line_dedup(df: DataFrame, id_col: str, text_col: str = "text") \
     the first-occurrence window — no giant per-line window partitions) →
     join occurrences back on the line text (AQE's call) → per-doc
     reassembly via sort_array over (pos, line) structs. Three
-    key-partitioned shuffles, nothing all-pairs. At 100 TB swap the line
-    string for xxhash64(line) as the agg/join key to cut shuffle width
-    (identical up to 64-bit collisions); the oracled formulation keeps the
-    string so both engines group on byte-identical keys. The final
-    field-extraction transform is an interpreted lambda, but it runs once
-    per KEPT line inside an already-shuffled row — not a hot scan loop."""
+    key-partitioned shuffles, nothing all-pairs. key='hash' (the 100-TB
+    option, VERDICT r5 item 6) swaps the line string for xxhash64(line) as
+    the agg/join key to cut shuffle width (identical survivors up to
+    64-bit collisions; the line text still rides the occurrence side for
+    reassembly); key='string' (default) keeps byte-identical oracle group
+    keys — equivalence pytest-pinned. The final field-extraction transform
+    is an interpreted lambda, but it runs once per KEPT line inside an
+    already-shuffled row — not a hot scan loop."""
+    _keyed(F.lit(""), key)  # validate the option eagerly
     base = (df.filter(F.col(text_col).isNotNull())
               .select(F.col(id_col).alias("id"),
                       F.split(F.col(text_col), "\n").alias("lines")))
     occ = base.select(
         "id", F.posexplode("lines").alias("pos", "line"))
-    first = occ.groupBy("line").agg(
+    if key == "hash":
+        occ = occ.withColumn("_lk", F.xxhash64("line"))
+        join_key = "_lk"
+    else:
+        join_key = "line"
+    first = occ.groupBy(join_key).agg(
         F.min(F.struct(F.col("id"), F.col("pos"))).alias("f"))
-    kept = (occ.join(first, "line")
+    kept = (occ.join(first, join_key)
                .filter((F.col("id") == F.col("f.id"))
                        & (F.col("pos") == F.col("f.pos")))
                .groupBy("id")
@@ -637,7 +661,7 @@ DUP_SPAN_N = 5  # duplicated-span seed gram width (Lee et al. use 50 BPE
 
 
 def dup_spans(df: DataFrame, id_col: str, text_col: str = "text",
-              n: int = DUP_SPAN_N) -> DataFrame:
+              n: int = DUP_SPAN_N, key: str = "string") -> DataFrame:
     """Cross-document duplicated SPANS — the exact-substring dedup signal
     of Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
     Better"), word-granular: every length-n token gram that occurs in more
@@ -657,9 +681,11 @@ def dup_spans(df: DataFrame, id_col: str, text_col: str = "text",
     → per-doc interval merge via two windows ordered by span start
     (running max of end over preceding rows → new-span flag → running sum
     as span id). Each window partition is ONE document's duplicated-gram
-    starts — bounded by doc length, never the corpus. At 100 TB swap the
-    gram string for xxhash64(gram) as in cross_doc_gram_frac; the oracled
-    formulation keeps the string for byte-identical group keys."""
+    starts — bounded by doc length, never the corpus. key='hash' (the
+    100-TB option, VERDICT r5 item 6) swaps the gram string for
+    xxhash64(gram) as the agg/join key as in cross_doc_gram_frac —
+    identical spans up to 64-bit collisions, equivalence pytest-pinned;
+    key='string' (default) keeps byte-identical oracle group keys."""
     from pyspark.sql import Window
     words = F.split(F.col(text_col), " ")
     base = (df.filter(F.col(text_col).isNotNull())
@@ -670,8 +696,9 @@ def dup_spans(df: DataFrame, id_col: str, text_col: str = "text",
                              F.lit(1), F.size("w") - (n - 1))).alias("i"),
                          "w")
                  .select("doc_id", "i",
-                         F.array_join(F.slice("w", F.col("i"), n), " ")
-                          .alias("gram")))
+                         _keyed(F.array_join(F.slice("w", F.col("i"), n),
+                                             " "),
+                                key).alias("gram")))
     counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("occ"))
     seeds = (grams.join(counts.filter(F.col("occ") > 1), "gram")
                   .select("doc_id", F.col("i").alias("s"),
@@ -696,7 +723,7 @@ def dup_spans(df: DataFrame, id_col: str, text_col: str = "text",
 
 
 def cut_dup_spans(df: DataFrame, id_col: str, text_col: str = "text",
-                  n: int = DUP_SPAN_N) -> DataFrame:
+                  n: int = DUP_SPAN_N, key: str = "string") -> DataFrame:
     """The operational half of span-level dedup: REMOVE every duplicated
     span found by `dup_spans` from the document text (Lee et al. 2022 cut
     the duplicated substring rather than the document). Output: (doc_id,
@@ -710,8 +737,10 @@ def cut_dup_spans(df: DataFrame, id_col: str, text_col: str = "text",
     token positions. The position test is an interpreted lambda over
     tokens × spans-per-doc — spans are merged maximal intervals (handfuls
     per doc), so the inner list is tiny; the explode+range-join
-    alternative would shuffle every token against a range predicate."""
-    spans = dup_spans(df, id_col, text_col, n)
+    alternative would shuffle every token against a range predicate.
+    key='hash' passes through to dup_spans (the 100-TB shuffle-width
+    option)."""
+    spans = dup_spans(df, id_col, text_col, n, key=key)
     per_doc = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans"),
         F.sum("span_len").cast("int").alias("n_cut"))

@@ -82,6 +82,9 @@ def psi(df: DataFrame, col: str, bucket_expr: Column,
     return float(row["psi"]) if row["psi"] is not None else 0.0
 
 
+KL_SCALE = 1_000_000  # KL terms quantized to integer micro-nats (ADVICE r5)
+
+
 def windowed_kl(df: DataFrame, bucket_expr: Column,
                 epoch_col: str = "warc_epoch", bucket_s: int = 86400,
                 smoothing: float = 1e-9) -> DataFrame:
@@ -97,8 +100,14 @@ def windowed_kl(df: DataFrame, bucket_expr: Column,
     full-outer self-join of the O(days×buckets) histogram frame against
     itself shifted by one day — never the input. First days (no
     predecessor) are excluded by a semi-join against the shifted day set.
-    The per-day KL sum is a sum of ~|buckets| doubles, the same
-    cross-engine convention the baseline drift queries already ride."""
+
+    Cross-engine determinism: a per-day SUM of double KL terms is
+    order-dependent and Spark/DuckDB (and Spark run-to-run under AQE) may
+    combine partials in different orders — a value landing exactly on a
+    4dp boundary could flip. Each term is therefore quantized to integer
+    micro-nats (floor(term·1e6 + 0.5) as bigint) BEFORE the per-day sum —
+    integer addition commutes exactly (the unigram_logppl convention) —
+    and the 4dp result is derived from the exact integer sum."""
     rows = (df.filter(F.col(epoch_col).isNotNull())
               .select(F.expr(f"CAST({epoch_col} AS BIGINT) div "
                              f"{int(bucket_s)}").alias("day"),
@@ -117,6 +126,9 @@ def windowed_kl(df: DataFrame, bucket_expr: Column,
                       "day", "left_semi")
     s = F.lit(smoothing)
     term = (F.col("p") + s) * F.log((F.col("p") + s) / (F.col("q") + s))
+    term_u = F.floor(term * KL_SCALE + F.lit(0.5)).cast("bigint")
+    # kl4 from the exact integer micro-nat sum: sum_u/(1e6/1e4) = sum_u/100
     out = j.groupBy("day").agg(
-        (F.floor(F.sum(term) * 1e4 + F.lit(0.5)) / 1e4).alias("kl4"))
+        (F.floor(F.sum(term_u) / F.lit(float(KL_SCALE // 10_000))
+                 + F.lit(0.5)) / 1e4).alias("kl4"))
     return out.join(valid, "day", "left_semi").select("day", "kl4")

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from . import quality, sampling
+from . import dedup, quality, sampling
 
 
 def training_shard(docs: DataFrame, bench: DataFrame,
@@ -44,6 +44,51 @@ def training_shard(docs: DataFrame, bench: DataFrame,
             .join(F.broadcast(bench.select("doc_id").distinct()),
                   "doc_id", "left_anti")
             .join(contaminated, "doc_id", "left_anti"))
+    sampled = sampling.stratified_hash_sample(kept, "doc_id", "lang",
+                                              rates, default_rate)
+    return sampled.select(
+        "doc_id", "lang",
+        F.size(F.split(F.col("text"), " ")).cast("int").alias("n_tokens"))
+
+
+def training_shard_v2(docs: DataFrame,
+                      rates: dict[str, float] | None = None,
+                      default_rate: float | None = None) -> DataFrame:
+    """(doc_id, lang, n_tokens) — the v2 composition inserting the finer
+    dedup granularities where a production pipeline (RefinedWeb; Lee et
+    al. 2022) runs them — BETWEEN the quality gate and document-level
+    dedup:
+
+        gopher quality → cross-document line dedup → duplicated-span cut
+        → exact document dedup (on the CLEANED text) → stratified sample
+
+    `docs` is expected line-structured (the line-granularity stages are
+    no-ops on single-line text); n_tokens counts the FINAL cleaned text.
+    Documents emptied by a stage (every line a duplicate / every token in
+    a cut span) are dropped, as a real shard write would.
+
+    Scale shape per stage: gopher = codegen scan + doc_id equi-join;
+    line_dedup = 3 key shuffles (group-agg + join-back, no corpus-sized
+    window partitions); cut_dup_spans = gram explode + per-doc interval
+    merge (window partitions bounded by doc length); exact dedup = one
+    window over hash-partitioned cleaned text; sample = shuffle-free
+    codegen filter. Nothing all-pairs, no driver-side loops."""
+    rates = sampling.MIX_RATES if rates is None else rates
+    default_rate = (sampling.MIX_DEFAULT if default_rate is None
+                    else default_rate)
+    passing = (quality.gopher_quality(docs)
+               .filter(F.col("gopher_pass")).select("doc_id"))
+    gated = docs.join(passing, "doc_id")
+    lined = (dedup.line_dedup(gated, "doc_id")
+                  .filter(F.col("n_kept") > 0)
+                  .select("doc_id", F.col("clean_text").alias("text")))
+    cut = (dedup.cut_dup_spans(lined, "doc_id")
+                .filter(F.col("clean_text") != "")
+                .select("doc_id", F.col("clean_text").alias("text")))
+    keep_first = (cut.withColumn(
+        "_keep", F.min("doc_id").over(Window.partitionBy("text")))
+        .filter(F.col("doc_id") == F.col("_keep")))
+    kept = keep_first.join(docs.select("doc_id", "lang"), "doc_id")
     sampled = sampling.stratified_hash_sample(kept, "doc_id", "lang",
                                               rates, default_rate)
     return sampled.select(

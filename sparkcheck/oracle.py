@@ -756,16 +756,19 @@ def numeric_quantiles(probs=(0.25, 0.5, 0.75, 0.95)) -> str:
 def gopher_quality(min_words: int = 50, max_words: int = 100_000,
                    min_mwl: float = 3.0, max_mwl: float = 10.0,
                    min_alpha_frac: float = 0.8,
-                   min_stop_hits: int = 2) -> str:
+                   min_stop_hits: int = 2,
+                   src: str = "documents") -> str:
     """Gopher-style quality gate (operators/quality.gopher_quality): same
     scalar mean-word-length formulation, same single list_filter per rule,
     thresholds compared on the UNROUNDED doubles (both engines compute
-    bit-identical IEEE doubles from identical ints)."""
+    bit-identical IEEE doubles from identical ints). `src` lets composed
+    oracles (training_shard_v2) run the gate over a CTE instead of the
+    documents table."""
     return f"""
 WITH t AS (
   SELECT doc_id, text, string_split(text, ' ') AS toks,
          CAST(len(string_split(text, ' ')) AS DOUBLE) AS n
-  FROM documents WHERE text IS NOT NULL),
+  FROM {src} WHERE text IS NOT NULL),
 m AS (
   SELECT doc_id, n,
     (length(text) - (len(toks) - 1)) / n AS mwl,
@@ -939,6 +942,67 @@ base AS (
   WHERE d.doc_id % {DECON_MOD} <> 0
     AND d.doc_id NOT IN (SELECT doc_id FROM cont))
 SELECT doc_id, lang, n_tokens FROM base
+WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       % {SAMPLE_MOD}) <
+      CASE lang {whens} ELSE {int(MIX_DEFAULT * SAMPLE_MOD)} END"""
+
+
+def training_shard_v2() -> str:
+    """Composed training-set materialization v2 (pipeline.training_shard_v2):
+    the RefinedWeb/Lee-et-al. stage order — gopher gate → cross-document
+    line dedup → duplicated-span cut → exact document dedup on the CLEANED
+    text → stratified sample. Every stage is the already-oracled builder
+    (gopher_quality with src=, line_dedup's one-window form,
+    _dup_spans_ctes + the cut lambda, the dmin window, the md5 sample
+    filter) chained as CTEs over the line-structured corpus, so the
+    COMPOSITION is driver-verified, not just the parts."""
+    from .operators.quality import lines_noise_sql
+    from .operators.sampling import MIX_DEFAULT, MIX_RATES, SAMPLE_MOD
+    structured = lines_noise_sql("text", "doc_id")
+    whens = " ".join(
+        f"WHEN '{k}' THEN {int(MIX_RATES[k] * SAMPLE_MOD)}"
+        for k in sorted(MIX_RATES))
+    return f"""
+WITH t0 AS (
+  SELECT doc_id, lang, {structured} AS text
+  FROM documents WHERE text IS NOT NULL),
+gq AS ({gopher_quality(src='t0')}),
+gated AS (SELECT t0.doc_id, t0.text FROM t0
+          JOIN gq ON gq.doc_id = t0.doc_id AND gq.gopher_pass),
+l AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM gated),
+p0 AS (SELECT doc_id, unnest(range(1, len(lines) + 1)) AS pos, lines
+       FROM l),
+o AS (SELECT doc_id, pos, lines[pos] AS line FROM p0),
+r AS (SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY line
+                                ORDER BY doc_id, pos) AS rn
+      FROM o),
+k AS (SELECT doc_id, pos, line FROM r WHERE rn = 1),
+ld AS (SELECT doc_id, array_to_string(list(line ORDER BY pos), chr(10))
+              AS text
+       FROM k GROUP BY doc_id),
+{_dup_spans_ctes(src='ld')},
+pd AS (SELECT doc_id,
+              list({{'s': span_start, 'e': span_end}}) AS spans
+       FROM spansq GROUP BY doc_id),
+b AS (SELECT doc_id, string_split(text, ' ') AS w FROM ld),
+cut AS (SELECT b.doc_id AS doc_id,
+               coalesce(array_to_string(
+                 list_filter(w, (x, i) ->
+                   pd.spans IS NULL OR
+                   len(list_filter(pd.spans,
+                                   sp -> i BETWEEN sp.s AND sp.e)) = 0),
+                 ' '), '') AS text
+        FROM b LEFT JOIN pd USING (doc_id)),
+ne AS (SELECT doc_id, text FROM cut WHERE text <> ''),
+dmin AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keep_id
+         FROM ne),
+kept AS (SELECT ne.doc_id AS doc_id, d.lang AS lang,
+                CAST(len(string_split(ne.text, ' ')) AS INT) AS n_tokens
+         FROM ne
+         JOIN dmin ON dmin.doc_id = ne.doc_id AND dmin.keep_id = ne.doc_id
+         JOIN documents d ON d.doc_id = ne.doc_id)
+SELECT doc_id, lang, n_tokens FROM kept
 WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
        % {SAMPLE_MOD}) <
       CASE lang {whens} ELSE {int(MIX_DEFAULT * SAMPLE_MOD)} END"""
@@ -1258,14 +1322,15 @@ SELECT doc_id, count(*) AS n_tokens,
 FROM q GROUP BY doc_id"""
 
 
-def _dup_spans_ctes() -> str:
+def _dup_spans_ctes(src: str = "documents") -> str:
     """Shared CTE chain for dup_spans/cut_dup_spans: gram seeds →
     occurrence counts → per-doc interval merge, ending in a `spansq`
-    CTE with (doc_id, span_start, span_end, span_len)."""
+    CTE with (doc_id, span_start, span_end, span_len). `src` lets the
+    composed training_shard_v2 oracle run the chain over a CTE."""
     from .operators.dedup import DUP_SPAN_N as n
     return f"""t AS (
   SELECT doc_id, string_split(text, ' ') AS w
-  FROM documents
+  FROM {src}
   WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= {n}),
 g AS (SELECT doc_id, unnest(range(1, len(w) - {n - 2})) AS i, w FROM t),
 g2 AS (SELECT doc_id, i, array_to_string(w[i:i+{n - 1}], ' ') AS gram
@@ -1364,8 +1429,12 @@ def drift_trend(bucket_s: int = 86400, smoothing: float = 1e-9) -> str:
     """windowed_kl oracle (operators/drift.py): identical formulation —
     integer day buckets (warc_epoch // bucket_s, exact on both sides),
     histogram self-joined against its one-day shift, first days excluded
-    via the shifted day set, same smoothing/ln/4dp-floor expression shape
-    as the baseline drift oracles."""
+    via the shifted day set. Each KL term is quantized to integer
+    micro-nats (floor(term·KL_SCALE + 0.5) as BIGINT) before the per-day
+    sum — integer addition commutes exactly, so the engines' different
+    aggregation orders cannot flip a 4dp boundary (the unigram_logppl
+    convention; ADVICE r5) — and kl4 derives from the exact integer sum."""
+    from .operators.drift import KL_SCALE
     return f"""
 WITH pages AS ({pages_cte('duckdb', REPLICAS)}),
 r AS (SELECT warc_epoch // {int(bucket_s)} AS day,
@@ -1382,7 +1451,8 @@ days AS (SELECT DISTINCT day FROM h),
 valid AS (SELECT d.day FROM days d
           JOIN (SELECT day + 1 AS day FROM days) p0 USING (day)),
 k AS (SELECT day,
-             FLOOR(SUM((p + {smoothing}) * LN((p + {smoothing})
-                   / (q + {smoothing}))) * 10000 + 0.5) / 10000.0 AS kl4
+             FLOOR(SUM(CAST(FLOOR((p + {smoothing}) * LN((p + {smoothing})
+                   / (q + {smoothing})) * {KL_SCALE} + 0.5) AS BIGINT))
+                   / {float(KL_SCALE // 10_000)!r} + 0.5) / 10000.0 AS kl4
       FROM j GROUP BY day)
 SELECT k.day AS day, k.kl4 AS kl4 FROM k JOIN valid USING (day)"""

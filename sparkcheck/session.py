@@ -19,6 +19,19 @@ def get_spark(cores: int | None = None, app: str = "sparkcheck",
     if shuffle_partitions is None:
         # proportional-to-cores policy (BASELINE.md protocol)
         shuffle_partitions = max(cores * 2, 8)
+    # ONE BLAS thread per python worker — Spark supplies the parallelism.
+    # Without this, N concurrent pandas-UDF workers × OpenBLAS's spin-wait
+    # threads sched_yield-storm the box once two Arrow stages stack in one
+    # task: measured 195.6s → ~8s on the composed ivf_topk at 1M vectors
+    # (85% kernel time, task CPU ~2s of a 135s wall — the r5 VERDICT's
+    # unreconciled ann_ivf_topk_1m row). Same setting a real cluster wants:
+    # one BLAS thread per task slot, scale via tasks. Set via os.environ
+    # (local mode: python workers inherit the driver JVM's env, which
+    # snapshots THIS process's env at first launch) AND executorEnv (real
+    # clusters).
+    for v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+              "MKL_NUM_THREADS", "VECLIB_MAXIMUM_THREADS"):
+        os.environ.setdefault(v, "1")
     builder = (
         SparkSession.builder
         .master(f"local[{cores}]")
@@ -42,6 +55,10 @@ def get_spark(cores: int | None = None, app: str = "sparkcheck",
         .config("spark.driver.extraJavaOptions", "-Xms12g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # cluster-mode mirror of the BLAS pinning above
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     # Iceberg runtime wiring (tests/test_iceberg.py un-skips when present):
     # point SPARKCHECK_ICEBERG_JAR at the runtime jar fetched by

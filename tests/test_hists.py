@@ -41,11 +41,14 @@ def test_hists_none_when_not_requested(spark):
 
 def test_windowed_kl_known_answer(spark):
     """day 101: p=(.75,.25) vs day 100 q=(.5,.5) → KL ≈ 0.1308; day 100
-    has no predecessor and must not appear; a gap day breaks the chain."""
+    has no predecessor and must not appear; a gap day breaks the chain.
+    Expected value mirrors the micro-nat quantization (each term floored
+    to integer 1e-6 nats BEFORE the sum — the order-independent
+    cross-engine convention, ADVICE r5)."""
     import math
     from pyspark.sql import functions as F
 
-    from sparkcheck.operators.drift import windowed_kl
+    from sparkcheck.operators.drift import KL_SCALE, windowed_kl
     rows = ([(100 * 86400, "a")] * 2 + [(100 * 86400, "b")] * 2
             + [(101 * 86400, "a")] * 3 + [(101 * 86400, "b")]
             + [(200 * 86400, "a")])           # isolated day → excluded
@@ -54,6 +57,7 @@ def test_windowed_kl_known_answer(spark):
            windowed_kl(df, F.col("lang")).collect()}
     assert set(out) == {101}
     s = 1e-9
-    expect = ((0.75 + s) * math.log((0.75 + s) / (0.5 + s))
-              + (0.25 + s) * math.log((0.25 + s) / (0.5 + s)))
-    assert out[101] == math.floor(expect * 1e4 + 0.5) / 1e4
+    terms = [(0.75 + s) * math.log((0.75 + s) / (0.5 + s)),
+             (0.25 + s) * math.log((0.25 + s) / (0.5 + s))]
+    sum_u = sum(math.floor(t * KL_SCALE + 0.5) for t in terms)
+    assert out[101] == math.floor(sum_u / (KL_SCALE // 10_000) + 0.5) / 1e4
