@@ -46,7 +46,7 @@ def sh(args: list[str], cwd: str = REPO) -> str:
 
 def run_once(tree: str, cores: int, replicas: int, sf_dir: str,
              timeout_s: int, queries: str = "",
-             script: str | None = None) -> dict[str, float]:
+             script: str | None = None, inner: int = 1) -> dict[str, float]:
     """One bench subprocess over `tree`'s sparkcheck; returns the timings
     dict. Default mode runs the tree's own bench.py with
     SPARKCHECK_BENCH_ONLY=full_suite; --queries mode runs `script` (the
@@ -56,7 +56,7 @@ def run_once(tree: str, cores: int, replicas: int, sf_dir: str,
                SPARK_GRAFT_SF_DIR=sf_dir,
                SPARK_GRAFT_CPUS=str(cores),
                SPARKCHECK_BENCH_REPLICAS=str(replicas),
-               SPARKCHECK_BENCH_INNER="1",
+               SPARKCHECK_BENCH_INNER=str(inner),
                PYTHONPATH=tree)
     if queries:
         env["SPARKCHECK_BENCH_QUERIES"] = queries
@@ -98,7 +98,14 @@ def main() -> int:
                          "harness (bench.py copied into the prev worktree, "
                          "so rows are defined identically) over each "
                          "side's own sparkcheck package, interleaved")
+    ap.add_argument("--inner", type=int, default=None,
+                    help="best-of-N inside each subprocess (default 1 for "
+                         "full_suite mode, 2 in --queries mode — matching "
+                         "how BENCH_rN per-op rows are produced, so the "
+                         "second run is warm and the row is comparable)")
     args = ap.parse_args()
+    if args.inner is None:
+        args.inner = 2 if args.queries else 1
 
     dirty = [l for l in sh(["git", "status", "--porcelain",
                             "--untracked-files=no"]).splitlines()
@@ -135,7 +142,8 @@ def main() -> int:
                 stamps[side].append(round(t0, 1))
                 q = run_once(tree, args.cores, args.replicas, args.sf,
                              args.timeout, queries=args.queries,
-                             script=script if side == "prev" else None)
+                             script=script if side == "prev" else None,
+                             inner=args.inner)
                 runs[side].append({k: round(v, 3) for k, v in q.items()}
                                   if qnames else round(q["full_suite"], 3))
                 shown = (" ".join(f"{k}={q[k]:.2f}s" for k in sorted(q))
@@ -148,9 +156,11 @@ def main() -> int:
             "date": time.strftime("%Y-%m-%d"),
             "config": {"cores": args.cores, "replicas": args.replicas,
                        "sf": args.sf.rstrip("/").split("/")[-1],
+                       "inner": args.inner,
                        "metric": (("per-op seconds (" + args.queries + ")")
                                   if qnames else "full_suite seconds")
-                                 + f", interleaved, best-of-{args.reps}"},
+                                 + f", interleaved, best-of-{args.reps}"
+                                 + f" x inner best-of-{args.inner}"},
             "runs": runs,
             "run_start_ts": stamps,
         }
