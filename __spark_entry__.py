@@ -686,6 +686,28 @@ def q_drift_trend(spark, sf_dir):
                        F.coalesce(F.col("lang"), F.lit("∅")))
 
 
+def q_mixture_resample(spark, sf_dir):
+    """Target-mixture resampling (the step after source_mix): exact-integer
+    per-stratum acceptance rates toward TARGET_MYRIAD over documents.lang,
+    applied with the deterministic md5-bucket filter. One tiny aggregate,
+    a 1-row argmax broadcast, an O(strata) broadcast join, zero corpus
+    shuffles."""
+    from sparkcheck.operators import sampling
+    return sampling.mixture_resample(
+        _docs(spark, sf_dir), "doc_id", "lang",
+        sampling.TARGET_MYRIAD, sampling.TARGET_DEFAULT_MYRIAD)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-chunk placement: per-document start offset and
+    first/last training-sequence index in the packed token stream
+    (seq_len 64). Engine: two-phase bucketed prefix sum (bucket_width 64
+    here so sf0.01 exercises multiple buckets); oracle: the one-window
+    global formulation."""
+    from sparkcheck.operators.packing import pack_sequences
+    return pack_sequences(_docs(spark, sf_dir), seq_len=64, bucket_width=64)
+
+
 # --- rows-only (engine-specific by nature; pytest-verified) ------------------
 
 
@@ -773,6 +795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_stats": q_partition_stats,
         # round-6 additions (append-only per the registry freeze)
         "training_shard_v2": q_training_shard_v2,
+        "mixture_resample": q_mixture_resample,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -852,4 +876,6 @@ def oracle_sql() -> dict[str, str]:
         "lang_mismatch": oracle.lang_mismatch(),
         "drift_trend": oracle.drift_trend(),
         "training_shard_v2": oracle.training_shard_v2(),
+        "mixture_resample": oracle.mixture_resample(),
+        "pack_sequences": oracle.pack_sequences(seq_len=64),
     }

@@ -4,7 +4,8 @@
 #
 # SANDBOX IMPOSSIBILITY, DOCUMENTED: this build sandbox has no outbound
 # network — `curl -sI https://repo1.maven.org/maven2/...` returns HTTP 000 /
-# exit 1 (probed 2026-08-17), there is no ~/.ivy2 or ~/.m2 package cache,
+# exit 1 (probed 2026-08-17, re-probed 2026-08-18: curl exit 6, no DNS), there
+# is no ~/.ivy2 or ~/.m2 package cache,
 # and `find / -name '*iceberg*.jar'` finds nothing. The recipe below is the
 # reproducible path on any connected machine:
 #

@@ -87,3 +87,67 @@ def capped_by_key(df: DataFrame, key, id_col: str, cap: int,
                .orderBy(ordc.asc(), F.col(id_col).asc())
     return (pruned.withColumn("rk", F.row_number().over(w2))
                   .filter(F.col("rk") <= cap))
+
+
+# driver-query target mixture for mixture_resample (documents.lang strata),
+# integer per-myriad shares, imported by oracle.mixture_resample so the two
+# sides cannot drift
+TARGET_MYRIAD = {"en": 4000, "zh": 2500, "de": 2000}
+TARGET_DEFAULT_MYRIAD = 750
+
+
+def mixture_resample(df: DataFrame, id_col: str, strata_col: str,
+                     target_myriad: dict[str, int],
+                     default_myriad: int) -> DataFrame:
+    """Target-mixture resampling — the step AFTER the source_mix report:
+    given integer per-myriad target shares per stratum, compute the
+    per-stratum acceptance rate that moves the corpus mixture to the
+    target while keeping the largest possible sample (the stratum most
+    under-represented relative to its target keeps rate 1.0; every other
+    stratum is thinned proportionally), then apply it with the same
+    deterministic md5-bucket filter the rest of the sampling family uses.
+
+    rate_s = (T_s / n_s) / max_u(T_u / n_u), realised as the integer
+    threshold floor(T_s * n_m * SAMPLE_MOD / (T_m * n_s)) where m is the
+    argmax stratum — EXACT integer arithmetic end-to-end (decimal(38,0)
+    products here, HUGEINT in the DuckDB oracle), so both engines keep
+    byte-identical row sets; the only double is the argmax ratio, a single
+    IEEE division identical on both engines, tie-broken by stratum name.
+
+    Output: the kept rows as (id, stratum, rate_myriad).
+
+    Scale shape: one map-side-combining aggregate over the stratum key
+    (tiny by definition — it's a mixing knob), a 1-row argmax broadcast
+    crossJoined into the threshold expressions, a broadcast join of the
+    O(strata) threshold frame back onto the corpus, and a shuffle-free
+    codegen hash filter. One corpus scan, zero corpus shuffles, lazy
+    construction (no build-time job — the tfidf eager-count lesson)."""
+    from pyspark.sql import Window
+
+    docs = df.filter(F.col(strata_col).isNotNull()) \
+             .select(F.col(id_col).alias("id"),
+                     F.col(strata_col).alias("stratum"))
+    per = docs.groupBy("stratum").agg(F.count(F.lit(1)).alias("n"))
+    tgt = F.lit(default_myriad)
+    for k in sorted(target_myriad):  # deterministic construction order
+        tgt = F.when(F.col("stratum") == k,
+                     F.lit(target_myriad[k])).otherwise(tgt)
+    per = per.withColumn("t", tgt.cast("bigint"))
+    w = Window.orderBy((F.col("t").cast("double") / F.col("n")).desc(),
+                       F.col("stratum").asc())
+    mx = (per.withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") == 1)
+             .select(F.col("t").alias("tm"), F.col("n").alias("nm")))
+    # exact floor division on decimal(38,0): num is exactly divisible after
+    # subtracting the remainder, so the decimal divide is rounding-free
+    num = (F.col("t").cast("decimal(38,0)") * F.lit(SAMPLE_MOD)
+           * F.col("nm"))
+    den = F.col("tm").cast("decimal(38,0)") * F.col("n")
+    thr = (per.crossJoin(F.broadcast(mx))
+              .select("stratum",
+                      F.least(((num - num % den) / den).cast("bigint"),
+                              F.lit(SAMPLE_MOD)).alias("rate_myriad")))
+    return (docs.join(F.broadcast(thr), "stratum")
+                .filter(hash_bucket(F.col("id")) < F.col("rate_myriad"))
+                .select(F.col("id").alias(id_col), "stratum",
+                        "rate_myriad"))

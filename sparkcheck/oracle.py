@@ -1456,3 +1456,58 @@ k AS (SELECT day,
                    / {float(KL_SCALE // 10_000)!r} + 0.5) / 10000.0 AS kl4
       FROM j GROUP BY day)
 SELECT k.day AS day, k.kl4 AS kl4 FROM k JOIN valid USING (day)"""
+
+
+def mixture_resample() -> str:
+    """mixture_resample oracle (operators/sampling.py): same exact-integer
+    rate math — per-stratum counts, argmax stratum by the single IEEE
+    double ratio (stratum-name tie-break), thresholds by HUGEINT floor
+    division (vs Spark's rounding-free decimal(38,0) divide), the shared
+    md5-bucket filter. Fully in-plan here where the engine broadcasts the
+    O(strata) threshold frame."""
+    from .operators.sampling import (SAMPLE_MOD, TARGET_DEFAULT_MYRIAD,
+                                     TARGET_MYRIAD)
+    whens = " ".join(f"WHEN '{k}' THEN {TARGET_MYRIAD[k]}"
+                     for k in sorted(TARGET_MYRIAD))
+    return f"""
+WITH docs AS (SELECT doc_id, lang AS stratum FROM documents
+              WHERE lang IS NOT NULL),
+per AS (SELECT stratum, count(*) AS n FROM docs GROUP BY stratum),
+tgt AS (SELECT stratum, n,
+               CAST(CASE stratum {whens}
+                    ELSE {TARGET_DEFAULT_MYRIAD} END AS BIGINT) AS t
+        FROM per),
+mx AS (SELECT t AS tm, n AS nm FROM tgt
+       ORDER BY CAST(t AS DOUBLE) / n DESC, stratum ASC LIMIT 1),
+thr AS (SELECT stratum,
+               CAST(LEAST((CAST(t AS HUGEINT) * {SAMPLE_MOD} * nm)
+                          // (CAST(tm AS HUGEINT) * n),
+                          {SAMPLE_MOD}) AS BIGINT) AS rate_myriad
+        FROM tgt CROSS JOIN mx)
+SELECT d.doc_id AS doc_id, d.stratum AS stratum, thr.rate_myriad AS rate_myriad
+FROM docs d JOIN thr USING (stratum)
+WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+       % {SAMPLE_MOD}) < rate_myriad"""
+
+
+def pack_sequences(seq_len: int = 512) -> str:
+    """pack_sequences oracle (operators/packing.py): the ONE-WINDOW global
+    formulation (SUM OVER (ORDER BY doc_id) — exactly the plan the engine
+    refuses to run at scale, stated here as the semantic definition), vs
+    the engine's two-phase bucketed prefix sum. Exact integer arithmetic
+    end-to-end on both sides."""
+    return f"""
+WITH t AS (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents WHERE text IS NOT NULL),
+c AS (SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS e
+      FROM t)
+SELECT doc_id, n_tokens, e - n_tokens AS start_off,
+       (e - n_tokens) // {int(seq_len)} AS first_seq,
+       (e - 1) // {int(seq_len)} AS last_seq,
+       ((e - 1) // {int(seq_len)}) - ((e - n_tokens) // {int(seq_len)}) + 1
+         AS spans
+FROM c"""
