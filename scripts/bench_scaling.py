@@ -163,6 +163,13 @@ def main() -> int:
                     args.replicas, args.sf_dir, args.spark_submit, args.inner)
 
     eff = (primary[lo]["median_sec"] / primary[hi]["median_sec"]) / (hi / lo)
+    # Amdahl split T(c) = F + W/c from the two primary minima — the template
+    # reports it so a fixed-cost-diluted efficiency reading (small input or
+    # contended day) is never published bare (round-6 lesson: 10M pages at
+    # F≈24s reads 0.59 raw while W divides by cores perfectly)
+    t_lo, t_hi = primary[lo]["median_sec"], primary[hi]["median_sec"]
+    amd_w = (t_lo - t_hi) / (1 / lo - 1 / hi)
+    amd_f = max(0.0, t_lo - amd_w / lo)
     xl, xh = args.extra_levels
     eff_x = (extra[xl]["median_sec"] / extra[xh]["median_sec"]) / (xh / xl)
     rows = primary[lo]["rows"]
@@ -206,6 +213,14 @@ hardware ceiling.
 **Scaling efficiency (N→4N) = (T_N / T_4N) / 4 = {eff:.2f}** (target ≥ 0.8;
 host ceiling {ctl['ceiling']:.2f})
 
+Amdahl split from the two minima, T(c) = F + W/c: **F ≈ {amd_f:.1f} s fixed
+per APPLICATION (Catalyst analysis, JIT, scheduling), W ≈ {amd_w:.1f} s
+scalable.** The raw efficiency reading is meaningful only where W/c ≫ F —
+at this input size F is {amd_f / primary[hi]['median_sec']:.0%} of the 4N
+wall. On a real N→4N *executor* scale-up F is paid once, not per executor;
+W is the term that must (and here does, by construction of the fit —
+cross-check it against previous rounds' W per page) divide by cores.
+
 Raw runs (s): local[{lo}] {primary[lo]['runs']}; local[{hi}] {primary[hi]['runs']}
 
 ## Results — supplementary ({xl} → {xh}, SMT-limited region)
@@ -215,9 +230,11 @@ Raw runs (s): local[{lo}] {primary[lo]['runs']}; local[{hi}] {primary[hi]['runs'
 | local[{xl}]  | {extra[xl]['median_sec']:.1f} | {extra[xl]['docs_per_sec']:,} |
 | local[{xh}] | {extra[xh]['median_sec']:.1f} | {extra[xh]['docs_per_sec']:,} |
 
-Efficiency = {eff_x:.2f} vs host ceiling {ctl_extra['ceiling']:.2f} — the job
-tracks the hardware's own scaling limit, i.e. the plan adds no serial
-bottleneck of its own beyond fixed per-job driver time.
+Efficiency = {eff_x:.2f} vs host ceiling {ctl_extra['ceiling']:.2f}. Read
+this row through the SMT ceiling AND the Amdahl split above — above
+{xl} threads the logical CPUs are hyperthread-limited and the fixed term
+F is an ever-larger share of the shrinking wall, so the raw ratio
+understates the plan's own scalability.
 
 ## Caveats
 - `local[k]` shares one JVM heap and has no network shuffle: this bounds
