@@ -308,6 +308,21 @@ def main() -> None:
     from sparkcheck.operators.textstats import unigram_logppl
     timed("unigram_logppl_100k", lambda: _force(
         unigram_logppl(shard_docs)), reps=inner)
+    # loader-facing tail of the pipeline: sequence packing's two-phase
+    # prefix sum (bucket_width sized so the bucket-summary window actually
+    # has ~25 buckets to scan over — the default 2^20 would put this corpus
+    # in ONE bucket and time the degenerate single-window shape instead)
+    # and target-mixture resampling (one tiny aggregate + codegen filter)
+    from sparkcheck.operators.packing import pack_sequences
+    from sparkcheck.operators.sampling import (TARGET_DEFAULT_MYRIAD,
+                                               TARGET_MYRIAD,
+                                               mixture_resample)
+    timed("pack_sequences_100k", lambda: _force(
+        pack_sequences(shard_docs, seq_len=2048, bucket_width=4096)),
+        reps=inner)
+    timed("mixture_resample_100k", lambda: _force(
+        mixture_resample(shard_docs, "doc_id", "lang", TARGET_MYRIAD,
+                         TARGET_DEFAULT_MYRIAD)), reps=inner)
     if ev2m is not None:
         upd = (ev2m.filter(F.col("event_id") % 20 == 0)
                    .select("user_id", "ts",
