@@ -342,6 +342,25 @@ def test_ivf_auto_switches_to_arrow_assignment_at_large_c(spark):
     assert canon(sql) == canon(auto)
 
 
+def test_ivf_arrow_search_is_single_corpus_pass(spark):
+    """VERDICT r5 item 1 regression pin: the Arrow IVF search must evaluate
+    the assignment UDF exactly ONCE per row. Before the round-6 fix the
+    optimizer duplicated the pandas UDF into the inferred join-key null
+    filter (InferFiltersFromConstraints adds isnotnull(cid)) and the
+    executed plan stacked TWO ArrowEvalPython passes over the full corpus —
+    the driver-measured 175s at 1M vectors. asNondeterministic on the
+    assignment UDF plus the driver-side probe-cell LocalRelation keep the
+    whole search to one ArrowEvalPython node; if either regresses, this
+    count goes to 2 and the test names the wall it reintroduces."""
+    from sparkcheck.operators.similarity import IVF_UDF_SWITCH
+
+    emb = _emb(spark)
+    df = similarity.ivf_topk(emb, [0, 1, 2], k=5,
+                             n_centroids=IVF_UDF_SWITCH + 1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+
+
 def test_lsh_bucket_parity_above_16_bits(spark):
     """VERDICT r3 item 5 boundary: the >16-plane signature path executes
     bit-for-bit identically in both engines (a 20-plane fold per row), so
