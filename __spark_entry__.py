@@ -719,6 +719,16 @@ def q_partition_stats(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ROTATED in r7 (VERDICT r6 Next 2): the driver demonstrably checks
+    # exactly the first 50 entries in dict insertion order, so three rounds
+    # of append-only registration left 24 queries permanently unchecked.
+    # Keys and definitions are byte-unchanged — only the dict literal is
+    # reordered: positions 0-49 = 27 long-green core/suite queries (incl.
+    # every query whose engine internals r7 touched: dedup_jaccard,
+    # dedup_fuzzy_drop_list, dedup_clean, training_shard, decontaminate,
+    # repetition_stats) + the 23 oracled never-driver-checked ones;
+    # positions 50+ = the remaining long-green rows and the rows-only
+    # partition_stats (no SQL oracle — kept out of the checked window).
     return {
         "pages_table": q_pages_table,
         "verdicts": q_verdicts,
@@ -737,8 +747,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
-        "token_count_bpe": q_token_count_bpe,
-        "fingerprint_rolling": q_fingerprint_rolling,
         "dedup_exact": q_dedup_exact,
         "dedup_drop_list": q_dedup_drop_list,
         "dedup_minhash_candidates": q_dedup_minhash_candidates,
@@ -746,6 +754,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fuzzy_drop_list": q_dedup_fuzzy_drop_list,
         "dedup_clean": q_dedup_clean,
         "token_topk": q_token_topk,
+        "training_shard": q_training_shard,
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
+        # --- the 23 previously-unchecked oracled queries (rotated in) ----
+        "training_shard_v2": q_training_shard_v2,
+        "mixture_resample": q_mixture_resample,
+        "pack_sequences": q_pack_sequences,
+        "dedup_fuzzy_drop_list_star": q_dedup_fuzzy_drop_list_star,
+        "ann_brute_topk_arrow": q_ann_brute_topk_arrow,
+        "event_rate_anomaly": q_event_rate_anomaly,
+        "norm_outliers": q_norm_outliers,
+        "orders_verdicts": q_orders_verdicts,
+        "orders_violations": q_orders_violations,
+        "tpch_pricing": q_tpch_pricing,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "retention": q_retention,
+        "hash_sample": q_hash_sample,
+        "dup_gram_frac": q_dup_gram_frac,
+        "host_cap": q_host_cap,
+        "c4_quality": q_c4_quality,
+        "line_dedup": q_line_dedup,
+        "unigram_logppl": q_unigram_logppl,
+        "dup_spans": q_dup_spans,
+        "cut_dup_spans": q_cut_dup_spans,
+        "source_mix": q_source_mix,
+        "lang_mismatch": q_lang_mismatch,
+        "drift_trend": q_drift_trend,
+        # --- positions 50+: long-green rows rotated out of the window ----
+        "token_count_bpe": q_token_count_bpe,
+        "fingerprint_rolling": q_fingerprint_rolling,
         "url_normalize": q_url_normalize,
         "cosine_scores": q_cosine_scores,
         "media_metadata": q_media_metadata,
@@ -762,41 +800,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_url_hosts": q_hot_url_hosts,
         "url_host_skew_stats": q_url_host_skew_stats,
         "gopher_quality": q_gopher_quality,
-        "repetition_stats": q_repetition_stats,
         "pii_scan": q_pii_scan,
-        "decontaminate": q_decontaminate,
         "sessionize": q_sessionize,
         "asof_profile": q_asof_profile,
         "stratified_sample": q_stratified_sample,
-        "training_shard": q_training_shard,
         "funnel": q_funnel,
-        "event_rate_anomaly": q_event_rate_anomaly,
-        "norm_outliers": q_norm_outliers,
-        "orders_verdicts": q_orders_verdicts,
-        "orders_violations": q_orders_violations,
-        "tpch_pricing": q_tpch_pricing,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "retention": q_retention,
-        "hash_sample": q_hash_sample,
-        "ann_brute_topk_arrow": q_ann_brute_topk_arrow,
-        "dedup_fuzzy_drop_list_star": q_dedup_fuzzy_drop_list_star,
-        "dup_gram_frac": q_dup_gram_frac,
-        "host_cap": q_host_cap,
-        "c4_quality": q_c4_quality,
-        "line_dedup": q_line_dedup,
-        "unigram_logppl": q_unigram_logppl,
-        "dup_spans": q_dup_spans,
-        "cut_dup_spans": q_cut_dup_spans,
-        "source_mix": q_source_mix,
-        "lang_mismatch": q_lang_mismatch,
-        "drift_trend": q_drift_trend,
         # rows-only check (keyed by spark_partition_id — engine-specific by
         # nature, no SQL-expressible oracle; pytest-verified)
         "partition_stats": q_partition_stats,
-        # round-6 additions (append-only per the registry freeze)
-        "training_shard_v2": q_training_shard_v2,
-        "mixture_resample": q_mixture_resample,
-        "pack_sequences": q_pack_sequences,
     }
 
 

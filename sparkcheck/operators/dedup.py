@@ -114,9 +114,24 @@ def with_minhash_fast(df: DataFrame, id_col: str, text_col: str = "text",
     formulation — use the md5 variant where DuckDB parity matters, this one
     at scale."""
     rows = k // bands
-    sh = shingles(text_col)
-    ex = (df.filter(F.col(text_col).isNotNull())
-            .select(F.col(id_col).alias("id"), F.explode(sh).alias("_s")))
+    # explode gram START POSITIONS and build each shingle as a codegen'd
+    # scalar expression (concat_ws over slice) instead of exploding the
+    # interpreted `shingles()` transform array — higher-order array lambdas
+    # evaluate outside whole-stage codegen (the BENCH/BASELINE.md minhash
+    # lesson; same formulation as cross_doc_gram_frac/dup_spans). Start
+    # index 0 encodes the degenerate whole-text shingle, so the produced
+    # strings are byte-identical to the transform formulation.
+    words = F.split(F.col(text_col), " ")
+    base = (df.filter(F.col(text_col).isNotNull())
+              .select(F.col(id_col).alias("id"), words.alias("_w")))
+    starts = (F.when(F.size("_w") >= SHINGLE,
+                     F.sequence(F.lit(1), F.size("_w") - (SHINGLE - 1)))
+               .otherwise(F.array(F.lit(0))))
+    gram = (F.when(F.col("_i") == 0, F.concat_ws(" ", F.col("_w")))
+             .otherwise(F.concat_ws(" ", F.slice("_w", F.col("_i"),
+                                                 SHINGLE))))
+    ex = (base.select("id", F.explode(starts).alias("_i"), "_w")
+              .select("id", gram.alias("_s")))
     aggs = [F.min(F.xxhash64(F.lit(j), F.col("_s"))).alias(f"_h{j}")
             for j in range(k)]
     sig = ex.groupBy("id").agg(*aggs)
@@ -184,16 +199,31 @@ def minhash_bucket_stats(df: DataFrame, id_col: str, text_col: str = "text",
 
 
 def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str,
-                  text_col: str = "text", width: int = SHINGLE) -> DataFrame:
+                  text_col: str = "text", width: int = SHINGLE,
+                  key: str = "string") -> DataFrame:
     """Jaccard similarity of word-shingle sets for candidate pairs:
     (id_a, id_b, jaccard rounded 4dp). Joins the candidate set to the corpus
     twice. The pair set is data-dependent (bounded per bucket by the
     max_bucket cap but still O(corpus) under high near-dup density), so no
     static broadcast hint — AQE broadcasts it at runtime when it measures
-    small."""
+    small.
+
+    key='hash' (the VERDICT r5 item 6 option, extended here): each
+    document's DISTINCT shingle set is represented as xxhash64 longs, so
+    the two pair-joins shuffle 8 bytes per shingle instead of the gram
+    string — at high near-dup density the shingle arrays riding the pair
+    frame ARE the shuffle cost. |A∩B|/|A∪B| over hashed sets equals the
+    string-set value up to 64-bit collisions inside one pair's union
+    (~|A∪B|²/2⁶⁵ — negligible), equivalence pytest-pinned; key='string'
+    (default) keeps the byte-exact oracle formulation."""
+    sh_arr = F.array_distinct(shingles(text_col, width))
+    if key == "hash":
+        sh_arr = F.array_distinct(
+            F.transform(shingles(text_col, width), lambda s: F.xxhash64(s)))
+    else:
+        _keyed(F.lit(""), key)  # validate the option eagerly
     sh = (df.filter(F.col(text_col).isNotNull())
-            .select(F.col(id_col).alias("_jid"),
-                    F.array_distinct(shingles(text_col, width)).alias("_sh")))
+            .select(F.col(id_col).alias("_jid"), sh_arr.alias("_sh")))
     a = sh.select(F.col("_jid").alias("id_a"), F.col("_sh").alias("sh_a"))
     b = sh.select(F.col("_jid").alias("id_b"), F.col("_sh").alias("sh_b"))
     j = (F.size(F.array_intersect("sh_a", "sh_b")) /
@@ -254,10 +284,16 @@ def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",
     from pyspark.storagelevel import StorageLevel
     # the edge list (often the tail of an expensive candidate+verify
     # pipeline) is referenced once per round — persist it for the loop's
-    # lifetime, released in the finally below
-    edges = (pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-             .union(pairs.select(F.col(b).alias("src"),
-                                 F.col(a).alias("dst")))
+    # lifetime, released in the finally below. Symmetrization is an explode
+    # of both orientations from ONE scan: the union formulation referenced
+    # `pairs` twice, so materializing the cache ran the whole upstream
+    # (LSH candidates + Jaccard verify) once per branch.
+    edges = (pairs.select(F.explode(F.array(
+                 F.struct(F.col(a).alias("src"), F.col(b).alias("dst")),
+                 F.struct(F.col(b).alias("src"), F.col(a).alias("dst"))))
+                 .alias("_e"))
+             .select(F.col("_e.src").alias("src"),
+                     F.col("_e.dst").alias("dst"))
              .persist(StorageLevel.MEMORY_AND_DISK))
     labels = (edges.select(F.col("src").alias("id")).distinct()
                    .select("id", F.col("id").alias("lbl"))
@@ -452,7 +488,12 @@ def fuzzy_drop_list(df: DataFrame, id_col: str, text_col: str = "text",
     are caught at O(n) by exact_drop_list, which composes with this one)."""
     cand = minhash_candidates(df, id_col, text_col, k, bands, max_bucket,
                               variant)
-    edges = (ngram_jaccard(df, cand, id_col, text_col)
+    # the fast (xxhash64) variant is already hash-family territory — its
+    # Jaccard verify rides hashed shingle sets too (same values up to
+    # 64-bit collisions, a fraction of the pair-join shuffle width); the
+    # md5 variant keeps the byte-exact oracle formulation
+    edges = (ngram_jaccard(df, cand, id_col, text_col,
+                           key="hash" if variant == "fast" else "string")
              .filter(F.col("jaccard") >= threshold)
              .select("id_a", "id_b"))
     try:

@@ -23,6 +23,21 @@ from pyspark.sql import functions as F
 from . import dedup, quality, sampling
 
 
+def _text_key():
+    """Keep-first window partition key for exact-text dedup (VERDICT r6
+    item 4): hash prefixes instead of the raw document string. The window's
+    hash-partitioning and its partition sort then work on an 8-byte
+    xxhash64 (plus the 32-hex md5 the repo's exact_duplicates already
+    groups on, compared only within xxhash64 ties) instead of comparing
+    full document texts — at 10^12 docs the raw text is the widest
+    sort/partition key in the repo. Groups are identical to partitioning
+    on `text` unless two distinct texts collide on BOTH hashes
+    simultaneously (< 2^-190 per pair — below the md5-only convention
+    exact_duplicates/the oracle already accept); equivalence pytest-pinned
+    at sf0.01."""
+    return (F.xxhash64("text"), F.md5("text"))
+
+
 def training_shard(docs: DataFrame, bench: DataFrame,
                    n: int = quality.DECON_N,
                    rates: dict[str, float] | None = None,
@@ -36,7 +51,7 @@ def training_shard(docs: DataFrame, bench: DataFrame,
     passing = (quality.gopher_quality(docs)
                .filter(F.col("gopher_pass")).select("doc_id"))
     keep_first = (docs.withColumn(
-        "_keep", F.min("doc_id").over(Window.partitionBy("text")))
+        "_keep", F.min("doc_id").over(Window.partitionBy(*_text_key())))
         .filter(F.col("doc_id") == F.col("_keep")))
     contaminated = quality.decontaminate(docs, bench, n=n).select("doc_id")
     kept = (keep_first
@@ -86,7 +101,7 @@ def training_shard_v2(docs: DataFrame,
                 .filter(F.col("clean_text") != "")
                 .select("doc_id", F.col("clean_text").alias("text")))
     keep_first = (cut.withColumn(
-        "_keep", F.min("doc_id").over(Window.partitionBy("text")))
+        "_keep", F.min("doc_id").over(Window.partitionBy(*_text_key())))
         .filter(F.col("doc_id") == F.col("_keep")))
     kept = keep_first.join(docs.select("doc_id", "lang"), "doc_id")
     sampled = sampling.stratified_hash_sample(kept, "doc_id", "lang",

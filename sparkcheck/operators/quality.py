@@ -103,6 +103,27 @@ def _ngram_array(toks: Column, n: int) -> Column:
              .otherwise(F.array().cast("array<string>")))
 
 
+def _exploded_ngrams(frame: DataFrame, carry_cols: list, n: int,
+                     text_col: str = "text",
+                     out_col: str = "gram") -> DataFrame:
+    """One row per n-gram: explode gram START POSITIONS and build each gram
+    as a codegen'd scalar expression (concat_ws over slice) — produces the
+    exact strings of explode(_ngram_array(...)) (docs with < n tokens emit
+    nothing) without materializing the gram array through an interpreted
+    higher-order lambda (the BENCH/BASELINE.md minhash lesson: per-element
+    hot loops belong in codegen'd scalar exprs). `carry_cols` are projected
+    through unchanged."""
+    toks = F.split(F.col(text_col), " ")
+    base = (frame.filter(F.col(text_col).isNotNull())
+                 .select(*carry_cols, toks.alias("_tk"))
+                 .filter(F.size("_tk") >= n))
+    starts = F.sequence(F.lit(1), F.size("_tk") - F.lit(n - 1))
+    return (base.select(*carry_cols, F.explode(starts).alias("_i"), "_tk")
+                .select(*carry_cols,
+                        F.concat_ws(" ", F.slice("_tk", F.col("_i"), n))
+                        .alias(out_col)))
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, n_2grams, max_2gram_cnt, top_2gram_frac, dup_token_frac) —
     Gopher-style repetition signals: the fraction of all 2-grams taken by
@@ -111,11 +132,14 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     2-grams and are excluded (explode drops the empty array; the oracle's
     unnest does the same)."""
     toks = F.split(F.col(text_col), " ")
-    base = (df.filter(F.col(text_col).isNotNull())
-              .select("doc_id",
-                      F.size(toks).alias("_n_toks"),
-                      F.size(F.array_distinct(toks)).alias("_n_dist"),
-                      F.explode(_ngram_array(toks, 2)).alias("ngram")))
+    base = _exploded_ngrams(
+        df.filter(F.col(text_col).isNotNull())
+          .select("doc_id",
+                  F.size(toks).alias("_n_toks"),
+                  F.size(F.array_distinct(toks)).alias("_n_dist"),
+                  F.col(text_col)),
+        ["doc_id", "_n_toks", "_n_dist"], 2, text_col=text_col,
+        out_col="ngram")
     per_gram = (base.groupBy("doc_id", "ngram")
                     .agg(F.count(F.lit(1)).alias("cnt"),
                          F.max("_n_toks").alias("_n_toks"),
@@ -306,10 +330,7 @@ def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 8,
     from .dedup import _keyed
 
     def grams(frame):
-        toks = F.split(F.col(text_col), " ")
-        g = (frame.filter(F.col(text_col).isNotNull())
-                  .select(F.col(id_col),
-                          F.explode(_ngram_array(toks, n)).alias("gram")))
+        g = _exploded_ngrams(frame, [F.col(id_col)], n, text_col=text_col)
         # hash AFTER the explode (a generator can't nest inside xxhash64)
         return g.select(F.col(id_col),
                         _keyed(F.col("gram"), key).alias("gram"))

@@ -378,6 +378,70 @@ def _assign_udf_from_rows(emb: DataFrame, rows: list,
                       nearest(F.col(vec_col)).alias("cid"))
 
 
+def _ivf_search_fused(emb: DataFrame, cent_rows: list, qrows: list,
+                      nprobe: int, k: int, id_col: str,
+                      vec_col: str) -> DataFrame:
+    """The FUSED Arrow IVF search (r7): assignment + probe-cell membership
+    + candidate scoring + per-batch top-k pruning in ONE mapInPandas pass
+    over the corpus — the brute_topk_udf shape. The previous Arrow path
+    ran a pandas-UDF assignment projection (corpus embeddings flowing
+    through ArrowEvalPython), then a broadcast join against the probe
+    cells, then the interpreted-fold cosine over the candidates; fusing
+    removes the join and emits only O(batches·Q·k) tiny candidate rows
+    from Python.
+
+    Semantics are the SQL path's, term for term (pytest-asserted equal):
+    assignment = argmax of 4dp-floored cosine over ALL centroids with
+    ties → smallest cid (cids sorted asc + np.argmax first-index);
+    candidates = rows whose cell is among the query's `nprobe` probe cells
+    (driver-side _probe_cells ranking), self excluded; scores on the same
+    floor(x·1e4+0.5)/1e4 grid; per-batch pruning keeps the top-k by the
+    global total order (score desc, vec_id asc), so it can never drop a
+    global top-k member."""
+    cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+    cmat = np.stack([np.asarray(r["cvec"], dtype=np.float64)
+                     for r in cent_rows])
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    probes = _probe_cells(qrows, cent_rows, nprobe, id_col, vec_col)
+    qids = np.array(sorted({p[0] for p in probes}), dtype=np.int64)
+    qmat = np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                     for r in sorted(qrows, key=lambda r: r[id_col])])
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    probe_cells = {int(q): np.array(sorted(c for qq, _, c in probes
+                                           if qq == q), dtype=np.int64)
+                   for q in qids}
+
+    def part(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy().astype(np.int64)
+            mnorm = np.sqrt((m * m).sum(axis=1))
+            csims = (m @ cmat.T) / (mnorm[:, None] * cnorm[None, :])
+            csims = np.floor(csims * 10000 + 0.5) / 10000.0
+            assign = cids[np.argmax(csims, axis=1)]
+            qsims = (m @ qmat.T) / (mnorm[:, None] * qnorm[None, :])
+            qsims = np.floor(qsims * 10000 + 0.5) / 10000.0
+            out = []
+            for j, qid in enumerate(qids):
+                s = qsims[:, j]
+                mask = np.isin(assign, probe_cells[int(qid)]) & (ids != qid)
+                cand = np.flatnonzero(mask)
+                if len(cand) > k:
+                    order = np.lexsort((ids[cand], -s[cand]))[:k]
+                    cand = cand[order]
+                out.append(pd.DataFrame({
+                    "query_id": qid, "vec_id": ids[cand],
+                    "score": s[cand]}))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return (emb.select(id_col, vec_col)
+               .mapInPandas(part,
+                            "query_id long, vec_id long, score double"))
+
+
 def _probe_cells(qrows: list, cent_rows: list, nprobe: int,
                  id_col: str, vec_col: str) -> list[tuple]:
     """Driver-side probe-cell ranking for the Arrow path: for each query
@@ -431,17 +495,19 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     instead of requiring the caller to know about the codegen wall
     (VERDICT r3 item 3). Pass True/False to force a path.
 
-    Plan discipline on the Arrow path (the r5 VERDICT's ann_ivf_topk_1m
-    reconciliation): the centroid TakeOrdered is collected ONCE and both
-    the assignment UDF and the probe-cell ranking consume the collected
-    rows — probes are computed driver-side in numpy (Q×C scores on the
-    same 4dp/min-cid grid as the SQL window formulation, pytest-asserted
-    equal) and broadcast as a Q·nprobe-row LocalRelation. The whole search
-    is then ONE corpus pass: scan → single ArrowEvalPython (assignment,
-    asNondeterministic so the optimizer can't duplicate it into the
-    inferred join-key null filter) → broadcast-hash join → top-k window
-    over ~N·nprobe/C candidates. The SQL path keeps the in-plan window
-    construction — it is the oracle-stated formulation."""
+    Plan discipline on the Arrow path (r5 reconciliation, fused in r7):
+    the centroid TakeOrdered is collected ONCE; probe cells are computed
+    driver-side in numpy (Q×C scores on the same 4dp/min-cid grid as the
+    SQL window formulation, pytest-asserted equal); then assignment,
+    probe-cell membership, candidate scoring and per-batch top-k pruning
+    all run inside ONE mapInPandas corpus pass (_ivf_search_fused — the
+    brute_topk_udf shape), so only O(batches·Q·k) candidate rows leave
+    Python and the global window is the single post-scan operator. The
+    pre-r7 shape (ArrowEvalPython assignment projection → broadcast join
+    on cid → interpreted-fold cosine) shipped the whole corpus's
+    embeddings through the Python projection and back. The SQL path keeps
+    the in-plan window construction — it is the oracle-stated
+    formulation."""
     from pyspark.sql import Window
 
     if n_centroids is None:
@@ -451,13 +517,15 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     cent = ivf_centroids(emb, n_centroids, id_col, vec_col)
     if use_udf:
         cent_rows = sorted(cent.collect(), key=lambda r: r["cid"])
-        assigned = _assign_udf_from_rows(emb, cent_rows, id_col, vec_col)
         qrows = sorted(emb.filter(F.col(id_col).isin(query_ids))
                           .select(id_col, vec_col).collect(),
                        key=lambda r: r[id_col])
-        qc = emb.sparkSession.createDataFrame(
-            _probe_cells(qrows, cent_rows, nprobe, id_col, vec_col),
-            schema="query_id long, qvec array<double>, cid long")
+        scored = _ivf_search_fused(emb, cent_rows, qrows, nprobe, k,
+                                   id_col, vec_col)
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                                   F.asc("vec_id"))
+        return (scored.withColumn("rank", F.row_number().over(w))
+                      .filter(F.col("rank") <= k))
     else:
         assigned = ivf_assign(emb, cent, id_col, vec_col)
         qw = Window.partitionBy("query_id").orderBy(F.desc("_s"),

@@ -329,8 +329,9 @@ def test_ivf_auto_switches_to_arrow_assignment_at_large_c(spark):
         df = similarity.ivf_topk(emb, [0, 1, 2], k=5, n_centroids=c)
         return df._jdf.queryExecution().executedPlan().toString()
 
-    assert "EvalPython" not in plan(IVF_UDF_SWITCH)
-    assert "ArrowEvalPython" in plan(IVF_UDF_SWITCH + 1)
+    sql_plan = plan(IVF_UDF_SWITCH)
+    assert "EvalPython" not in sql_plan and "MapInPandas" not in sql_plan
+    assert "MapInPandas" in plan(IVF_UDF_SWITCH + 1)
 
     # equality ON the switched path: auto (→ Arrow) vs forced SQL folds at a
     # C above the switch point
@@ -343,22 +344,25 @@ def test_ivf_auto_switches_to_arrow_assignment_at_large_c(spark):
 
 
 def test_ivf_arrow_search_is_single_corpus_pass(spark):
-    """VERDICT r5 item 1 regression pin: the Arrow IVF search must evaluate
-    the assignment UDF exactly ONCE per row. Before the round-6 fix the
-    optimizer duplicated the pandas UDF into the inferred join-key null
-    filter (InferFiltersFromConstraints adds isnotnull(cid)) and the
-    executed plan stacked TWO ArrowEvalPython passes over the full corpus —
-    the driver-measured 175s at 1M vectors. asNondeterministic on the
-    assignment UDF plus the driver-side probe-cell LocalRelation keep the
-    whole search to one ArrowEvalPython node; if either regresses, this
-    count goes to 2 and the test names the wall it reintroduces."""
+    """VERDICT r5 item 1 regression pin, updated for the r7 fused search:
+    the Arrow IVF search must run exactly ONE Python evaluation pass over
+    the corpus. Before the round-6 fix the optimizer duplicated the
+    assignment pandas UDF into the inferred join-key null filter and the
+    executed plan stacked TWO ArrowEvalPython passes over the full corpus
+    — the driver-measured 175s at 1M vectors. Round 7 fused assignment +
+    probe membership + scoring + per-batch top-k pruning into a single
+    mapInPandas node (_ivf_search_fused), so the pinned shape is now: ONE
+    MapInPandas, ZERO ArrowEvalPython/BatchEvalPython, and no join in the
+    search at all (only the top-k window follows the scan)."""
     from sparkcheck.operators.similarity import IVF_UDF_SWITCH
 
     emb = _emb(spark)
     df = similarity.ivf_topk(emb, [0, 1, 2], k=5,
                              n_centroids=IVF_UDF_SWITCH + 1)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("ArrowEvalPython") == 1, plan
+    assert plan.count("MapInPandas") == 1, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Join" not in plan, plan
 
 
 def test_lsh_bucket_parity_above_16_bits(spark):
