@@ -170,6 +170,10 @@ def main() -> int:
     t_lo, t_hi = primary[lo]["median_sec"], primary[hi]["median_sec"]
     amd_w = (t_lo - t_hi) / (1 / lo - 1 / hi)
     amd_f = max(0.0, t_lo - amd_w / lo)
+    # ADVICE r6: on a noisy/contended pair where the hi-core minimum is NOT
+    # faster, the fit inverts (W ≤ 0 / F clamped) and the split is
+    # meaningless — say so instead of publishing nonsense numbers
+    amdahl_ok = amd_w > 0 and t_lo > t_hi
     xl, xh = args.extra_levels
     eff_x = (extra[xl]["median_sec"] / extra[xh]["median_sec"]) / (xh / xl)
     rows = primary[lo]["rows"]
@@ -213,13 +217,17 @@ hardware ceiling.
 **Scaling efficiency (N→4N) = (T_N / T_4N) / 4 = {eff:.2f}** (target ≥ 0.8;
 host ceiling {ctl['ceiling']:.2f})
 
-Amdahl split from the two minima, T(c) = F + W/c: **F ≈ {amd_f:.1f} s fixed
+{f'''Amdahl split from the two minima, T(c) = F + W/c: **F ≈ {amd_f:.1f} s fixed
 per APPLICATION (Catalyst analysis, JIT, scheduling), W ≈ {amd_w:.1f} s
 scalable.** The raw efficiency reading is meaningful only where W/c ≫ F —
 at this input size F is {amd_f / primary[hi]['median_sec']:.0%} of the 4N
 wall. On a real N→4N *executor* scale-up F is paid once, not per executor;
 W is the term that must (and here does, by construction of the fit —
-cross-check it against previous rounds' W per page) divide by cores.
+cross-check it against previous rounds' W per page) divide by cores.''' if amdahl_ok else
+'''**Amdahl split: inverted/noisy pair — the hi-core minimum was not faster
+than the lo-core minimum, so the T(c) = F + W/c fit is not meaningful for
+this series (contention landed on the hi-core side); re-run in a cleaner
+window before reading the split.**'''}
 
 Raw runs (s): local[{lo}] {primary[lo]['runs']}; local[{hi}] {primary[hi]['runs']}
 

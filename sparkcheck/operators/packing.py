@@ -54,6 +54,16 @@ def pack_sequences(df: DataFrame, seq_len: int, id_col: str = "doc_id",
     sequences of length `seq_len` that contain its first/last token, and
     spans = last_seq - first_seq + 1 (spans > 1 ⇔ the document crosses a
     sequence boundary).
+
+    CONTRACT (ADVICE r6): the two-phase prefix sum buckets by
+    `doc_id DIV bucket_width`, so the "tiny" bucket-summary frame is tiny
+    only when doc_ids are reasonably DENSE (sequential or near-sequential
+    — the shape shard ids and this repo's corpus have). Sparse/hashed
+    64-bit ids put ~1 doc per bucket, making the summary frame, its
+    single-partition window, and the broadcast all corpus-sized. For
+    hashed ids, first densify (`row_number` is itself a global window, so
+    do it once at ingest and store the dense id) or widen `bucket_width`
+    to ~id_range/target_buckets.
     """
     toks = (df.filter(F.col(text_col).isNotNull())
               .select(F.col(id_col).alias("doc_id"),

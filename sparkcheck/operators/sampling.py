@@ -121,7 +121,17 @@ def mixture_resample(df: DataFrame, id_col: str, strata_col: str,
     crossJoined into the threshold expressions, a broadcast join of the
     O(strata) threshold frame back onto the corpus, and a shuffle-free
     codegen hash filter. One corpus scan, zero corpus shuffles, lazy
-    construction (no build-time job — the tfidf eager-count lesson)."""
+    construction (no build-time job — the tfidf eager-count lesson).
+
+    CONTRACT (ADVICE r6): `strata_col` must be a bounded mixing dimension
+    (language, source — the things target dicts are written for). The
+    threshold frame has one row per DISTINCT stratum and is broadcast
+    unconditionally BECAUSE of that bound; the unconditional hint is the
+    deliberate trade that keeps this operator lazy (a gate_broadcast probe
+    would run a job at construction time, which the laziness test pins
+    against). Do NOT pass a high-cardinality key (url host, domain) as
+    `strata_col` — for per-key caps over unbounded keys use
+    `capped_by_key`, whose salted two-phase window is built for that."""
     from pyspark.sql import Window
 
     docs = df.filter(F.col(strata_col).isNotNull()) \

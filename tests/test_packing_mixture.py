@@ -66,11 +66,17 @@ class TestPackSequences:
         plan = pack_sequences(_docs(spark, rows), seq_len=4,
                               bucket_width=8)._jdf.queryExecution() \
             .executedPlan().toString()
-        # every Window node over the doc stream must be partitioned by _b
+        # every Window node over the doc stream must be partitioned by _b —
+        # and the loop must actually MATCH at least one such node, so a
+        # plan-string formatting change can't make the pin pass vacuously
+        # (ADVICE r6)
+        matched = 0
         for line in plan.splitlines():
             if "Window" in line and "n_tokens" in line \
                     and "partial" not in line:
                 assert "_b" in line, line
+                matched += 1
+        assert matched >= 1, plan
 
 
 class TestMixtureResample:
