@@ -4,7 +4,9 @@
 #
 # SANDBOX IMPOSSIBILITY, DOCUMENTED: this build sandbox has no outbound
 # network — `curl -sI https://repo1.maven.org/maven2/...` returns HTTP 000 /
-# exit 1 (probed 2026-08-17, re-probed 2026-08-18: curl exit 6, no DNS), there
+# exit 1 (probed 2026-08-17, re-probed 2026-08-18: curl exit 6, no DNS;
+# re-probed 2026-08-22 for round 7: getaddrinfo('repo1.maven.org') raises
+# "Name or service not known" — still no DNS), there
 # is no ~/.ivy2 or ~/.m2 package cache,
 # and `find / -name '*iceberg*.jar'` finds nothing. The recipe below is the
 # reproducible path on any connected machine:
